@@ -1,0 +1,10 @@
+"""Low-level ops: masking, selection, and (optionally Pallas-fused) attention."""
+
+from .masking import (  # noqa: F401
+    non_pad_mask,
+    key_pad_mask,
+    subsequent_mask,
+    self_mask_diag,
+    resample_enc_output,
+)
+from .select import rank_mask_smallest, rank_mask_largest  # noqa: F401

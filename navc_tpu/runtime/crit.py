@@ -1,0 +1,143 @@
+"""Loss functions with exact reference semantics (misc/crit.py).
+
+Parity notes (all against reference misc/crit.py):
+  * Language loss: NLL over log-probs, PAD-masked, **summed over tokens and
+    divided by batch size** — not by token count (crit.py:40-48, 76-84).
+  * Visual-word generation weights the two passes [0.8, 1.0]
+    (crit.py:52-56, opts.py:72-73).
+  * Length loss: KL divergence with torch ``nn.KLDivLoss()`` default 'mean'
+    reduction — the sum of ``target * (log target - pred)`` divided by the
+    **total element count B*max_len** (crit.py:223); zero-target entries
+    contribute 0 (xlogy semantics).
+  * ``Criterion`` aggregates ``sum_i scale_i * loss_i`` (crit.py:156-181) and
+    records word accuracy (pass 0 excludes MASK labels under visual-word
+    generation, crit.py:86-98) and perplexity over non-PAD tokens
+    (crit.py:100-114).
+
+All functions are pure jnp and jit-safe; statistics are returned as scalars
+for host-side AverageMeter accumulation. A ``valid_mask`` (B,) extends the
+reference semantics to padded final batches: padded rows contribute nothing
+and denominators use the valid-row count (with a full batch this reduces to
+the reference exactly).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import Config
+
+
+def nll_language_loss(logprobs: jnp.ndarray, labels: jnp.ndarray,
+                      valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Sum of -logprob at non-PAD labels (reference crit.py:76-84).
+
+    logprobs: (B, L, V) log-softmax outputs; labels: (B, L) int ids.
+    Returns the un-normalized sum (normalization by batch size happens in the
+    caller, matching CritBase.forward crit.py:40-48).
+    """
+    gathered = jnp.take_along_axis(logprobs, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != C.PAD).astype(logprobs.dtype)
+    if valid_mask is not None:
+        mask = mask * valid_mask[:, None]
+    return -(gathered * mask).sum()
+
+
+def kl_length_loss(pred_logprobs: jnp.ndarray, target: jnp.ndarray,
+                   valid_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """torch nn.KLDivLoss() 'mean' over all B*max_len elements (crit.py:223)."""
+    pointwise = jnp.where(
+        target > 0, target * (jnp.log(jnp.where(target > 0, target, 1.0)) - pred_logprobs), 0.0)
+    if valid_mask is not None:
+        pointwise = pointwise * valid_mask[:, None]
+        denom = jnp.maximum(valid_mask.sum(), 1.0) * target.shape[1]
+    else:
+        denom = float(target.shape[0] * target.shape[1])
+    return pointwise.sum() / denom
+
+
+def word_accuracy(logprobs: jnp.ndarray, labels: jnp.ndarray,
+                  exclude_mask_token: bool,
+                  valid_mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(correct count, token count) over non-PAD (optionally non-MASK) labels.
+
+    Reference crit.py:86-98.
+    """
+    ind = labels != C.PAD
+    if exclude_mask_token:
+        ind = ind & (labels != C.MASK)
+    if valid_mask is not None:
+        ind = ind & (valid_mask[:, None] > 0)
+    pred = jnp.argmax(logprobs, axis=-1)
+    correct = ((pred == labels) & ind).sum()
+    return correct.astype(jnp.float32), ind.sum().astype(jnp.float32)
+
+
+def perplexity_stats(logprobs: jnp.ndarray, labels: jnp.ndarray,
+                     valid_mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sum of -logprob at labels over non-PAD, token count) — crit.py:100-114."""
+    gathered = jnp.take_along_axis(logprobs, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != C.PAD).astype(logprobs.dtype)
+    if valid_mask is not None:
+        mask = mask * valid_mask[:, None]
+    n = mask.sum()
+    return -(gathered * mask).sum(), n
+
+
+def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray] = None
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Aggregate criterion (reference Criterion.get_loss, crit.py:156-181).
+
+    ``results`` must contain:
+      tgt_word_logprobs: list of (B, L, V), and tgt_word_labels: list of (B, L)
+      (single-element lists when not visual_word_generation);
+      pred_length/tgt_length when 'length' in cfg.crit.
+    Returns (total loss, metrics dict with per-loss values and stat counters).
+    """
+    metrics: Dict[str, jnp.ndarray] = {}
+    vwg = cfg.visual_word_generation
+
+    logprob_sets: Sequence[jnp.ndarray] = results["tgt_word_logprobs"]
+    label_sets: Sequence[jnp.ndarray] = results["tgt_word_labels"]
+    if not isinstance(logprob_sets, (list, tuple)):
+        logprob_sets = [logprob_sets]
+    if not isinstance(label_sets, (list, tuple)):
+        label_sets = [label_sets] * len(logprob_sets)
+    assert len(logprob_sets) == len(label_sets)
+
+    weights: List[float] = list(cfg.nv_weights) if vwg else [1.0] * len(logprob_sets)
+    if valid_mask is not None:
+        batch_denom = jnp.maximum(valid_mask.sum(), 1.0)
+    else:
+        batch_denom = float(logprob_sets[0].shape[0])
+
+    total = jnp.zeros((), jnp.float32)
+    lang_loss = jnp.zeros((), jnp.float32)
+    for i, (w, lp, lab) in enumerate(zip(weights, logprob_sets, label_sets)):
+        lang_loss = lang_loss + w * nll_language_loss(lp, lab, valid_mask) / batch_denom
+        acc_c, acc_n = word_accuracy(lp, lab, exclude_mask_token=(i == 0 and vwg),
+                                     valid_mask=valid_mask)
+        metrics["word_acc%d_correct" % i] = acc_c
+        metrics["word_acc%d_count" % i] = acc_n
+        if not (i == 0 and vwg):
+            ppl_sum, ppl_n = perplexity_stats(lp, lab, valid_mask)
+            metrics["ppl_sum"] = ppl_sum
+            metrics["ppl_count"] = ppl_n
+
+    scales = {name.lower(): s for name, s in zip(cfg.crit, cfg.crit_scale)}
+    metrics["lang_loss"] = lang_loss
+    total = total + scales.get("lang", 1.0) * lang_loss
+
+    if "length" in [c.lower() for c in cfg.crit]:
+        len_loss = kl_length_loss(results["pred_length"], results["tgt_length"], valid_mask)
+        metrics["length_loss"] = len_loss
+        total = total + scales.get("length", 1.0) * len_loss
+
+    metrics["total_loss"] = total
+    metrics["num_samples"] = batch_denom if isinstance(batch_denom, jnp.ndarray) \
+        else jnp.asarray(batch_denom, jnp.float32)
+    return total, metrics

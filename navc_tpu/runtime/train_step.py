@@ -1,0 +1,141 @@
+"""The jitted training step.
+
+TPU-first re-design of the reference hot loop (misc/run.py:249-269): one
+``jax.jit``-compiled function per configuration covering forward, loss,
+backward, gradient clip, optimizer update, and BatchNorm running-stat update —
+no host work between batches beyond feeding the next one.
+
+Multi-chip: the step is sharding-agnostic. Under a ``Mesh`` with batch inputs
+sharded over the 'data' axis and replicated params, jit inserts the gradient
+all-reduce automatically (see navc_tpu.parallel.mesh for the shardings).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models import Seq2Seq
+from .crit import compute_losses
+from .optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(cfg: Config, model: Seq2Seq, variables: Dict) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    ), tx
+
+
+def _forward_results(cfg: Config, model: Seq2Seq, variables, batch: Dict,
+                     deterministic: bool, dropout_rng=None, mutable=False):
+    """Model forward + target wiring (reference misc/run.py:40-86)."""
+    feats = [batch["feats_%s" % ch] for ch in cfg.modality.lower()]
+    if cfg.visual_word_generation:
+        tgt: Any = (batch["tokens_1"], batch["tokens"])
+    else:
+        tgt = batch["tokens"]
+    category = batch.get("category")
+
+    kwargs: Dict[str, Any] = {}
+    if dropout_rng is not None:
+        kwargs["rngs"] = {"dropout": dropout_rng}
+    if mutable:
+        kwargs["mutable"] = ["batch_stats"]
+
+    out = model.apply(variables, feats, tgt, category,
+                      deterministic=deterministic, **kwargs)
+    if mutable:
+        results, updates = out
+        new_batch_stats = updates.get("batch_stats", {})
+    else:
+        results, new_batch_stats = out, None
+
+    # start index: NAR targets align with inputs, AR targets shift by one
+    # (reference misc/run.py:70-82).
+    start = 0 if cfg.decoding_type == "NARFormer" else 1
+    if cfg.visual_word_generation:
+        results["tgt_word_labels"] = [
+            batch["labels_1"][:, start:], batch["labels"][:, start:]]
+    else:
+        results["tgt_word_labels"] = batch["labels"][:, start:]
+    if cfg.decoding_type == "NARFormer":
+        results["tgt_length"] = batch["length_target"]
+    return results, new_batch_stats
+
+
+def make_train_step(cfg: Config, model: Seq2Seq, tx: optax.GradientTransformation):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        results, new_batch_stats = _forward_results(
+            cfg, model, variables, batch, deterministic=False,
+            dropout_rng=dropout_rng, mutable=bool(batch_stats))
+        loss, metrics = compute_losses(cfg, results, batch.get("valid_mask"))
+        return loss, (metrics, new_batch_stats)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict, dropout_rng) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_batch_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, dropout_rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_batch_stats if new_batch_stats is not None else state.batch_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_loss_step(cfg: Config, model: Seq2Seq):
+    """Forward-only loss computation for validation curves."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch) -> Dict:
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        results, _ = _forward_results(cfg, model, variables, batch, deterministic=True)
+        _, metrics = compute_losses(cfg, results, batch.get("valid_mask"))
+        return metrics
+
+    return eval_step
+
+
+def make_encode_fn(cfg: Config, model: Seq2Seq):
+    """Jitted encode-only forward for decoding (reference run.py:59 only_data)."""
+
+    @jax.jit
+    def encode(params, batch_stats, feats):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, feats,
+                           method=lambda m, f: m.encode(f, deterministic=True))
+
+    return encode
