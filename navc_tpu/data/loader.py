@@ -1,0 +1,120 @@
+"""Static-shape batch loader with background prefetch.
+
+TPU-first replacement for the reference's single-process torch DataLoader
+(misc/run.py:89-96): items are collated into fixed-shape NumPy batches (the
+final partial batch is padded and flagged via ``valid_mask`` so jit compiles
+exactly one batch signature), and an optional background thread keeps a
+prefetch queue full so the device never waits on HDF5 reads.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .dataset import VideoDataset
+
+ARRAY_KEYS = (
+    "tokens", "labels", "tokens_1", "labels_1", "taggings",
+    "length_target", "category",
+)
+
+
+def collate(items: List[Dict[str, Any]], batch_size: int) -> Dict[str, Any]:
+    """Stack items into one fixed-shape batch, padding to ``batch_size``."""
+    n = len(items)
+    assert 0 < n <= batch_size
+    batch: Dict[str, Any] = {}
+    keys = items[0].keys()
+    for k in keys:
+        v0 = items[0][k]
+        if isinstance(v0, np.ndarray) or k in ARRAY_KEYS:
+            arr = np.stack([np.asarray(it[k]) for it in items])
+            if n < batch_size:
+                pad = np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)
+                arr = np.concatenate([arr, pad], axis=0)
+            batch[k] = arr
+        else:  # metadata (video ids, caption ids)
+            batch[k] = [it[k] for it in items] + [None] * (batch_size - n)
+    batch["valid_mask"] = (np.arange(batch_size) < n).astype(np.float32)
+    batch["num_valid"] = n
+    return batch
+
+
+class BatchLoader:
+    """Iterate a VideoDataset in fixed-shape batches.
+
+    train mode shuffles the item order each epoch with the dataset's seeded
+    RNG (the reference relies on torch DataLoader shuffle, misc/run.py:95).
+    """
+
+    def __init__(self, dataset: VideoDataset, batch_size: int,
+                 shuffle: bool = False, prefetch: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            return self.dataset.random.permutation(n)
+        return np.arange(n)
+
+    def _iter_batches(self) -> Iterator[Dict[str, Any]]:
+        order = self._order()
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            items = [self.dataset[int(i)] for i in idx]
+            yield collate(items, self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.prefetch <= 0:
+            yield from self._iter_batches()
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def producer():
+            try:
+                for b in self._iter_batches():
+                    q.put(b)
+            except BaseException as e:  # surfaced in the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is sentinel:
+                break
+            yield b
+        t.join()
+        if error:
+            raise error[0]
+
+
+def get_loader(cfg, mode: str, info_corpus=None, feature_sources=None,
+               in_memory_feats=None, batch_size: Optional[int] = None,
+               specific: int = -1, prefetch: Optional[int] = None) -> BatchLoader:
+    """Reference misc/run.py:89-96 ``get_loader``."""
+    ds = VideoDataset(cfg, mode, info_corpus=info_corpus,
+                      feature_sources=feature_sources,
+                      in_memory_feats=in_memory_feats, specific=specific)
+    return BatchLoader(
+        ds,
+        batch_size=batch_size or cfg.batch_size,
+        shuffle=(mode == "train"),
+        prefetch=cfg.prefetch_depth if prefetch is None else prefetch,
+    )

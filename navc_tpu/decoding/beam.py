@@ -1,0 +1,179 @@
+"""Autoregressive beam search as a static-shape on-device scan.
+
+Capability parity with reference models/Beam.py + models/Translator.py,
+re-designed TPU-first:
+  * the token-by-token host loop with per-instance Python ``Beam`` objects and
+    dynamic batch shrinking (Translator.py:148-157, collate_active_info 58-72)
+    becomes one ``lax.scan`` over a static (B, beam, max_len) buffer with
+    per-instance done-masking;
+  * hypotheses are stored as sequence snapshots instead of backpointer walks
+    (Beam.py:132-139) — identical outputs, gather-friendly layout.
+
+Reference idiosyncrasies preserved exactly (parity-tested vs a NumPy port):
+  * step 1 draws the top-k from beam slot 0 only (Beam.py:78-79),
+  * beams whose last token is EOS have their whole score row set to -1e20
+    before the top-k (Beam.py:74-77),
+  * an instance finishes once ``specific_nums_of_sents`` (= max(beam, topk),
+    Beam.py:11) hypotheses are collected, scanning beam slots in order
+    (Beam.py:95-99),
+  * at max_len, instances with an empty finished list append every beam slot
+    (Beam.py:111-116),
+  * final ranking by score / length**alpha at sort time (Beam.py:123-130).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import Config
+from .length_beam import enlarge
+
+NEG_BIG = -1e20
+
+
+class BeamState(NamedTuple):
+    seqs: jnp.ndarray        # (B, K, L) int32; pos 0 = BOS, step t writes pos t
+    scores: jnp.ndarray      # (B, K) float32 cumulative log-probs
+    fin_seqs: jnp.ndarray    # (B, F, L) snapshots at finish time
+    fin_scores: jnp.ndarray  # (B, F)
+    fin_lens: jnp.ndarray    # (B, F) int32 hypothesis length (incl. EOS)
+    fin_count: jnp.ndarray   # (B,) int32
+    done: jnp.ndarray        # (B,) bool
+
+
+def _append_finished(state: BeamState, eligible: jnp.ndarray,
+                     scores: jnp.ndarray, seqs: jnp.ndarray,
+                     t: int, capacity_limit: int) -> BeamState:
+    """Append eligible (B, K) slots in beam order up to per-row capacity."""
+    b, k = eligible.shape
+    f = state.fin_scores.shape[1]
+    rank = jnp.cumsum(eligible.astype(jnp.int32), axis=1) - 1  # order among eligible
+    capacity = capacity_limit - state.fin_count  # (B,)
+    accept = eligible & (rank < capacity[:, None])
+    slot = jnp.where(accept, state.fin_count[:, None] + rank, f)  # f = dump slot
+
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, k))
+    fin_scores = jnp.concatenate([state.fin_scores, jnp.zeros((b, 1))], axis=1)
+    fin_lens = jnp.concatenate([state.fin_lens, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    fin_seqs = jnp.concatenate(
+        [state.fin_seqs, jnp.zeros((b, 1, state.fin_seqs.shape[-1]), jnp.int32)], axis=1)
+
+    fin_scores = fin_scores.at[rows, slot].set(
+        jnp.where(accept, scores, fin_scores[rows, slot]))
+    fin_lens = fin_lens.at[rows, slot].set(
+        jnp.where(accept, t, fin_lens[rows, slot]))
+    fin_seqs = fin_seqs.at[rows, slot].set(
+        jnp.where(accept[..., None], seqs, fin_seqs[rows, slot]))
+
+    new_count = state.fin_count + accept.sum(axis=1)
+    return state._replace(
+        fin_seqs=fin_seqs[:, :f], fin_scores=fin_scores[:, :f],
+        fin_lens=fin_lens[:, :f], fin_count=new_count)
+
+
+def make_ar_generator(cfg: Config, model, jit: bool = True):
+    """Build the batched beam-search decode function.
+
+    Returns fn(variables, enc_results, category) ->
+        (hypotheses (B, max_len - 1) int32, scores (B,) float32)
+    matching Translator.translate_batch_ARFormer semantics with topk=1.
+    """
+    k = cfg.beam_size
+    max_len = cfg.max_len
+    specific = max(k, cfg.topk)
+    alpha = cfg.beam_alpha
+
+    def decode_step(variables, seqs_flat, enc_output, category, t):
+        logprobs, _ = model.apply(
+            variables, seqs_flat, enc_output, category, "ARFormer", True,
+            method=lambda m, *a: m.decode_logprobs(*a))
+        return logprobs[:, t - 1, :]
+
+    def generate(variables, enc_results: Dict[str, jnp.ndarray],
+                 category: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        enc_output = enc_results["enc_output"]
+        b = enc_output.shape[0]
+        enc_tiled = enlarge(enc_output, k)
+        cat_tiled = None if category is None else enlarge(category, k)
+
+        seqs = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(C.BOS)
+        state = BeamState(
+            seqs=seqs,
+            scores=jnp.zeros((b, k)),
+            fin_seqs=jnp.zeros((b, specific, max_len), jnp.int32),
+            fin_scores=jnp.zeros((b, specific)),
+            fin_lens=jnp.zeros((b, specific), jnp.int32),
+            fin_count=jnp.zeros((b,), jnp.int32),
+            done=jnp.zeros((b,), bool),
+        )
+
+        def step(state: BeamState, t: jnp.ndarray) -> Tuple[BeamState, None]:
+            wp = decode_step(variables, state.seqs.reshape(b * k, max_len),
+                             enc_tiled, cat_tiled, t).reshape(b, k, -1)
+            v = wp.shape[-1]
+
+            # --- advance (Beam.py:68-117) ---------------------------------
+            def first_step():
+                flat = wp[:, 0, :]
+                best_scores, best_ids = jax.lax.top_k(flat, k)
+                prev_k = jnp.zeros((b, k), jnp.int32)
+                next_word = best_ids.astype(jnp.int32)
+                return best_scores, prev_k, next_word
+
+            def later_step():
+                last = jnp.take_along_axis(
+                    state.seqs, jnp.full((b, k, 1), 1, jnp.int32) * (t - 1), axis=2)[..., 0]
+                beam_lk = wp + state.scores[:, :, None]
+                beam_lk = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, beam_lk)
+                best_scores, best_ids = jax.lax.top_k(beam_lk.reshape(b, k * v), k)
+                prev_k = (best_ids // v).astype(jnp.int32)
+                next_word = (best_ids - prev_k * v).astype(jnp.int32)
+                return best_scores, prev_k, next_word
+
+            best_scores, prev_k, next_word = jax.lax.cond(t == 1, first_step, later_step)
+
+            reordered = jnp.take_along_axis(
+                state.seqs, prev_k[:, :, None], axis=1)
+            new_seqs = jnp.where(
+                (jnp.arange(max_len)[None, None, :] == t),
+                next_word[:, :, None], reordered)
+
+            active = ~state.done
+            seqs_out = jnp.where(active[:, None, None], new_seqs, state.seqs)
+            scores_out = jnp.where(active[:, None], best_scores, state.scores)
+            st = state._replace(seqs=seqs_out, scores=scores_out)
+
+            # --- record EOS hypotheses (Beam.py:95-99) --------------------
+            eligible = (next_word == C.EOS) & active[:, None]
+            st = _append_finished(st, eligible, best_scores, new_seqs, t, specific)
+            newly_done = st.fin_count >= specific
+
+            # --- max_len fallback (Beam.py:111-116) -----------------------
+            is_last = t == max_len - 1
+            empty = (st.fin_count == 0) & active
+            fallback = jnp.broadcast_to(
+                (is_last & empty)[:, None], (b, k))
+            st = _append_finished(st, fallback, best_scores, new_seqs, t, specific)
+
+            st = st._replace(done=st.done | newly_done | jnp.full((b,), False))
+            return st, None
+
+        state, _ = jax.lax.scan(step, state, jnp.arange(1, max_len))
+
+        # --- sort_finished (Beam.py:123-130) ------------------------------
+        valid = jnp.arange(specific)[None, :] < state.fin_count[:, None]
+        norm = state.fin_scores / jnp.power(
+            jnp.maximum(state.fin_lens, 1).astype(jnp.float32), alpha)
+        norm = jnp.where(valid, norm, -jnp.inf)
+        best = jnp.argmax(norm, axis=1)  # (B,)
+        best_seq = jnp.take_along_axis(
+            state.fin_seqs, best[:, None, None], axis=1)[:, 0, :]
+        best_score = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+        return best_seq[:, 1:], best_score  # drop BOS
+
+    return jax.jit(generate) if jit else generate

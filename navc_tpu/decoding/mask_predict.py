@@ -1,0 +1,321 @@
+"""Non-autoregressive refinement decoding as a single on-device program.
+
+Capability parity with reference decoding/algorithms.py (MaskPredict,
+Left2Right, EasyFirst) and decoding/na_generate.py, re-designed TPU-first:
+
+  * the whole decode — length beam, canvas, T refinement iterations, teacher
+    rescoring, best-beam selection — is ONE jitted function with static
+    shapes; the reference's host loop with per-iteration ``.item()`` syncs
+    (algorithms.py:247, na_generate.py:37) becomes a ``lax.scan``;
+  * per-row ``select_worst`` host loops (algorithms.py:206-215) become batched
+    ordinal-rank masks (navc_tpu.ops.select);
+  * the (batch x length-beam) product is a single leading dim, so one decoder
+    forward per iteration covers every length candidate — this dimension
+    shards over the device mesh for multi-chip serving.
+
+Semantics preserved exactly (verified by NumPy-port parity tests):
+  * CT first pass replaces <mask> with <vis>, predicts once, zeroes the probs
+    of slots still predicted <mask> (algorithms.py:136-141);
+  * with CT the loop runs one extra iteration whose first step re-masks
+    exactly the still-<mask> set (algorithms.py:242, 250-254);
+  * mask count decays as floor(len * (1 - t/T)) with a floor of 1
+    (algorithms.py:255-257, 213);
+  * teacher rescoring gates: ``masking_decision`` for intermediate steps,
+    ``not no_candidate_decision`` for the final step (algorithms.py:175-204);
+  * PAD slots keep prob 1.0 / token PAD (algorithms.py:154-155);
+  * best length beam by sum(log p) / len**alpha (na_generate.py:66-77).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..config import Config
+from ..ops.select import rank_mask_largest, rank_mask_smallest
+from .length_beam import build_canvas, enlarge, predict_length_beam, select_best_length_beam
+
+
+class NARContext(NamedTuple):
+    """Everything the refinement loop needs per call."""
+    enc_output: jnp.ndarray            # (B*lbs, T, H)
+    category: Optional[jnp.ndarray]    # (B*lbs, 1) or None
+    teacher_enc_output: Optional[jnp.ndarray]
+    teacher_category: Optional[jnp.ndarray]
+    dict_mapping: Optional[jnp.ndarray]  # (vocab,) student->teacher id map
+
+
+def _predict_fn(model, variables, ctx: NARContext) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One NAR decoder forward -> (argmax ids, max probs).
+
+    Reference generate_step_with_prob + generate_non_autoregressive
+    (algorithms.py:7-15, 143-167) minus the pad overwrite (applied by caller).
+    """
+    def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        logprobs, _ = model.apply(
+            variables, tokens, ctx.enc_output, ctx.category, "NARFormer", True,
+            method=lambda m, *a: m.decode_logprobs(*a))
+        probs = jnp.exp(logprobs)
+        ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        max_probs = jnp.max(probs, axis=-1)
+        return ids, max_probs
+    return predict
+
+
+def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext):
+    """AR teacher per-token probabilities (algorithms.py:175-204)."""
+    def score(tokens: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
+        t = tokens
+        if ctx.dict_mapping is not None:
+            t = ctx.dict_mapping[t]
+        bos = jnp.full((t.shape[0], 1), C.BOS, t.dtype)
+        inp = jnp.concatenate([bos, t], axis=1)[:, :-1]
+        logprobs, _ = teacher_model.apply(
+            teacher_variables, inp, ctx.teacher_enc_output, ctx.teacher_category,
+            "ARFormer", True, method=lambda m, *a: m.decode_logprobs(*a))
+        probs = jnp.exp(logprobs)
+        gathered = jnp.take_along_axis(probs, t[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return jnp.where(pad_mask, 1.0, gathered)
+    return score
+
+
+def _apply_pad(ids, probs, pad_mask):
+    """tokens[pad]=PAD, probs[pad]=1.0 (algorithms.py:154-155)."""
+    return jnp.where(pad_mask, C.PAD, ids), jnp.where(pad_mask, 1.0, probs)
+
+
+# ---------------------------------------------------------------------------
+# Algorithms. Each takes (predict, teacher_score|None, tokens, pad_mask,
+# lengths, cfg) and returns (tokens, lprobs).
+# ---------------------------------------------------------------------------
+
+
+def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config):
+    use_ct = cfg.use_ct
+    T = cfg.iterations + 1 if use_ct else cfg.iterations
+    seq_lens = lengths.astype(jnp.float32)
+
+    if use_ct:
+        # coarse-grained templates (algorithms.py:136-141)
+        vis_tokens = jnp.where(tokens == C.MASK, C.VIS, tokens)
+        ids, probs = predict(vis_tokens)
+        ids, probs = _apply_pad(ids, probs, pad_mask)
+        probs = jnp.where(ids == C.MASK, 0.0, probs)
+        tokens, token_probs = ids, probs
+    else:
+        ids, probs = predict(tokens)
+        tokens, token_probs = _apply_pad(ids, probs, pad_mask)
+
+    def body(carry, xs):
+        counter, ratio = xs
+        tokens, token_probs = carry
+        if teacher_score is not None and cfg.masking_decision:
+            corresponding = teacher_score(tokens, pad_mask)
+        else:
+            corresponding = jnp.ones_like(token_probs)
+
+        num_mask = (seq_lens * ratio).astype(jnp.int32)
+        worst = rank_mask_smallest(token_probs * corresponding,
+                                   jnp.maximum(1, num_mask))
+        if use_ct:
+            # first loop step completes the CT canvas (algorithms.py:250-254)
+            mask_ind = jnp.where(counter == 1, tokens == C.MASK, worst)
+        else:
+            mask_ind = worst
+
+        masked = jnp.where(mask_ind, C.MASK, tokens)
+        new_ids, new_probs = predict(masked)
+        new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+        tokens = jnp.where(mask_ind, new_ids, masked)
+        token_probs = jnp.where(mask_ind, new_probs, token_probs)
+        return (tokens, token_probs), None
+
+    if T > 1:
+        # Mask-ratio schedule computed in float64 on the host then cast to
+        # float32, matching torch's python-float -> f32-tensor promotion
+        # (algorithms.py:255-256); computing 1 - t/T in f32 on-device flips
+        # floor() at exact-integer boundaries.
+        counters = jnp.arange(1, T)
+        ratios = jnp.asarray(
+            [1.0 - c / T for c in range(1, T)], jnp.float32)
+        (tokens, token_probs), _ = jax.lax.scan(
+            body, (tokens, token_probs), (counters, ratios))
+
+    if teacher_score is not None and not cfg.no_candidate_decision:
+        corresponding = teacher_score(tokens, pad_mask)
+    else:
+        corresponding = jnp.ones_like(token_probs)
+    lprobs = jnp.log(token_probs * corresponding)
+    return tokens, lprobs
+
+
+def _refinement_tail(predict, tokens, token_probs, pad_mask, seq_lens,
+                     cfg: Config, visual_mask):
+    """Shared L2R/EF refinement rounds (algorithms.py:326-339, 400-413)."""
+    T = cfg.q_iterations
+    for i in range(T):
+        if i == 0 and cfg.use_ct:
+            mask_ind = visual_mask
+        else:
+            ratio = 0.4 * (1.0 - i / T)
+            num_mask = (seq_lens * ratio).astype(jnp.int32)
+            mask_ind = rank_mask_smallest(token_probs, jnp.maximum(1, num_mask))
+        masked = jnp.where(mask_ind, C.MASK, tokens)
+        new_ids, new_probs = predict(masked)
+        new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+        tokens = jnp.where(mask_ind, new_ids, masked)
+        token_probs = jnp.where(mask_ind, new_probs, token_probs)
+    return tokens, token_probs
+
+
+def _ct_or_blank(predict, tokens, pad_mask, cfg: Config):
+    """Shared L2R/EF initialization (algorithms.py:288-293, 360-365)."""
+    if cfg.use_ct:
+        vis_tokens = jnp.where(tokens == C.MASK, C.VIS, tokens)
+        ids, probs = predict(vis_tokens)
+        ids, probs = _apply_pad(ids, probs, pad_mask)
+        probs = jnp.where(ids == C.MASK, 0.0, probs)
+        visual_mask = (ids != C.MASK) & (ids != C.PAD)
+        return ids, probs, visual_mask
+    token_probs = jnp.where(pad_mask, 1.0, 0.0)
+    return tokens, token_probs, None
+
+
+def _left2right(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config):
+    """Reveal q leftmost masks per step, then refine (algorithms.py:275-344)."""
+    seq_lens = lengths.astype(jnp.float32)
+    max_len = tokens.shape[1]
+    tokens, token_probs, visual_mask = _ct_or_blank(predict, tokens, pad_mask, cfg)
+
+    # The initial masked set, in left-to-right ordinal order. The reference
+    # enumerates masked positions below seq_len once before the loop
+    # (algorithms.py:297-311); PAD tails are never MASK so the seq_len bound
+    # is implied.
+    init_mask = tokens == C.MASK
+    ordinal = jnp.cumsum(init_mask.astype(jnp.int32), axis=1) - 1  # rank among masks
+
+    n_steps = -(-max_len // cfg.q)  # ceil; extra steps are no-ops
+
+    def body(carry, step):
+        tokens, token_probs = carry
+        current = step * cfg.q
+        sel = init_mask & (ordinal >= current) & (ordinal < current + cfg.q)
+        masked = jnp.where(sel, C.MASK, tokens)
+        new_ids, new_probs = predict(masked)
+        new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+        tokens = jnp.where(sel, new_ids, masked)
+        token_probs = jnp.where(sel, new_probs, token_probs)
+        return (tokens, token_probs), None
+
+    (tokens, token_probs), _ = jax.lax.scan(
+        body, (tokens, token_probs), jnp.arange(n_steps))
+
+    tokens, token_probs = _refinement_tail(
+        predict, tokens, token_probs, pad_mask, seq_lens, cfg, visual_mask)
+
+    if teacher_score is not None and not cfg.no_candidate_decision:
+        corresponding = teacher_score(tokens, pad_mask)
+    else:
+        corresponding = jnp.ones_like(token_probs)
+    return tokens, jnp.log(token_probs * corresponding)
+
+
+def _easy_first(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config):
+    """Reveal the q most-confident masks per round (algorithms.py:347-417)."""
+    seq_lens = lengths.astype(jnp.float32)
+    max_len = tokens.shape[1]
+    tokens, token_probs, visual_mask = _ct_or_blank(predict, tokens, pad_mask, cfg)
+
+    n_steps = -(-max_len // cfg.q)
+
+    def body(carry, _):
+        tokens, token_probs = carry
+        mask_ind = tokens == C.MASK
+        remain = mask_ind.sum(-1)
+
+        def do_round(tokens, token_probs):
+            new_ids, new_probs = predict(tokens)
+            new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+            confid = jnp.where(mask_ind, new_probs, 0.0)
+            k = jnp.minimum(cfg.q, remain)
+            best = rank_mask_largest(confid, k)
+            return (jnp.where(best, new_ids, tokens),
+                    jnp.where(best, new_probs, token_probs))
+
+        # skip the forward entirely once every row is done
+        any_remain = remain.sum() > 0
+        tokens, token_probs = jax.lax.cond(
+            any_remain, do_round, lambda t, p: (t, p), tokens, token_probs)
+        return (tokens, token_probs), None
+
+    (tokens, token_probs), _ = jax.lax.scan(
+        body, (tokens, token_probs), jnp.arange(n_steps))
+
+    tokens, token_probs = _refinement_tail(
+        predict, tokens, token_probs, pad_mask, seq_lens, cfg, visual_mask)
+
+    if teacher_score is not None and not cfg.no_candidate_decision:
+        corresponding = teacher_score(tokens, pad_mask)
+    else:
+        corresponding = jnp.ones_like(token_probs)
+    return tokens, jnp.log(token_probs * corresponding)
+
+
+ALGORITHMS = {"mp": _mask_predict, "l2r": _left2right, "ef": _easy_first}
+
+
+# ---------------------------------------------------------------------------
+# Public factory
+# ---------------------------------------------------------------------------
+
+
+def make_nar_generator(cfg: Config, model, teacher_model=None,
+                       jit: bool = True):
+    """Build the full NAR decode function (reference na_generate.py:14-113).
+
+    Returns fn(variables, enc_results, category,
+               teacher_variables=None, teacher_enc_results=None,
+               dict_mapping=None) -> (hypotheses (B, max_len) int32,
+                                      lprobs (B, lbs metadata free)).
+    ``enc_results`` must carry 'enc_output' and 'pred_length'.
+    """
+    if cfg.paradigm not in ALGORITHMS:
+        raise ValueError("paradigm must be one of %s" % list(ALGORITHMS))
+    algorithm = ALGORITHMS[cfg.paradigm]
+    lbs = cfg.length_beam_size
+    use_teacher = teacher_model is not None and (
+        cfg.masking_decision or not cfg.no_candidate_decision)
+
+    def generate(variables, enc_results: Dict[str, jnp.ndarray],
+                 category: Optional[jnp.ndarray] = None,
+                 teacher_variables=None,
+                 teacher_enc_results: Optional[Dict[str, jnp.ndarray]] = None,
+                 dict_mapping: Optional[jnp.ndarray] = None):
+        pred_length = enc_results["pred_length"]
+        bsz = pred_length.shape[0]
+        beam = predict_length_beam(pred_length, lbs, cfg.length_bias, cfg.max_len)
+        tokens, pad_mask, lengths = build_canvas(beam, cfg.max_len)
+
+        ctx = NARContext(
+            enc_output=enlarge(enc_results["enc_output"], lbs),
+            category=None if category is None else enlarge(category, lbs),
+            teacher_enc_output=(
+                enlarge(teacher_enc_results["enc_output"], lbs)
+                if use_teacher and teacher_enc_results is not None else None),
+            teacher_category=None if category is None else enlarge(category, lbs),
+            dict_mapping=dict_mapping,
+        )
+        predict = _predict_fn(model, variables, ctx)
+        teacher_score = None
+        if use_teacher and teacher_variables is not None and ctx.teacher_enc_output is not None:
+            teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx)
+
+        hyp, lprobs = algorithm(predict, teacher_score, tokens, pad_mask, lengths, cfg)
+        best = select_best_length_beam(hyp, lprobs, lengths, bsz, lbs, cfg.beam_alpha)
+        return best
+
+    return jax.jit(generate) if jit else generate
