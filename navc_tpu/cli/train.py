@@ -1,0 +1,48 @@
+"""Training entry point (reference train.py).
+
+Usage (mirrors README.md:150-162 of the reference):
+    python -m navc_tpu.cli.train --default --dataset MSRVTT --method NACF \
+        --base_data_path /path/to/VC_data --base_checkpoint_path ./experiments
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import random
+
+from ..config import resolve_data_paths, where_to_save_model
+from ..runtime.loop import train_network_all
+from .opts import parse_config
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    if cfg.seed == -1:
+        cfg = cfg.replace(seed=random.randint(1, 65534))
+
+    cfg = resolve_data_paths(cfg)
+    workdir = where_to_save_model(cfg)
+    os.makedirs(workdir, exist_ok=True)
+    cfg = cfg.replace(checkpoint_path=workdir)
+
+    # vocab size from the corpus, before model construction (train.py:73)
+    with open(cfg.info_corpus, "rb") as f:
+        info_corpus = pickle.load(f)
+    cfg = cfg.replace(vocab_size=len(info_corpus["info"]["itow"]))
+
+    with open(os.path.join(workdir, "opt_info.json"), "w") as f:
+        json.dump(cfg.to_dict(), f)
+    print("save opt details to %s" % os.path.join(workdir, "opt_info.json"))
+    print("| method %s | vocab_size %d | modality %s | max_len %d | seed %d"
+          % (cfg.method, cfg.vocab_size, cfg.modality, cfg.max_len, cfg.seed))
+
+    out = train_network_all(cfg, workdir=workdir, info_corpus=info_corpus)
+    if "test_res" in out:
+        print({k: v for k, v in out["test_res"].items()})
+    return out
+
+
+if __name__ == "__main__":
+    main()

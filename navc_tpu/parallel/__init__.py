@@ -1,0 +1,4 @@
+"""Device-mesh parallelism: data-parallel batch sharding + tensor-parallel
+vocab/FFN sharding via jax.sharding + jit (GSPMD)."""
+
+from .mesh import make_mesh, shard_batch, shard_params, batch_pspec, param_pspec  # noqa: F401

@@ -1,0 +1,121 @@
+"""Self-describing checkpoints (params + opt state + embedded config).
+
+Capability parity with reference misc/utils.py save_checkpoint /
+load_model_and_opt (utils.py:54-63, 195-202): every checkpoint embeds the
+resolved config so evaluation can rebuild the exact model; extends the
+reference by also saving optimizer state and the epoch (the reference cannot
+resume mid-training, SURVEY.md §5).
+
+Format: a single msgpack-free pickle of numpy-ified pytrees — dependency-light
+and portable across CPU/TPU hosts.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..models import build_model
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(state: Dict[str, Any], filepath: str,
+                    filename: str = "checkpoint.ckpt") -> str:
+    os.makedirs(filepath, exist_ok=True)
+    path = os.path.join(filepath, filename)
+    payload = dict(state)
+    for key in ("params", "batch_stats", "opt_state"):
+        if key in payload and payload[key] is not None:
+            payload[key] = _to_numpy(payload[key])
+    if "settings" in payload and isinstance(payload["settings"], Config):
+        payload["settings"] = payload["settings"].to_dict()
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_model_and_config(path: str) -> Tuple[Any, Dict[str, Any], Config, Dict[str, Any]]:
+    """Returns (model, variables, cfg, other_info) — reference utils.py:54-63."""
+    ckpt = load_checkpoint(path)
+    cfg = Config.from_dict(ckpt["settings"])
+    model = build_model(cfg)
+    variables = {"params": ckpt["params"]}
+    if ckpt.get("batch_stats"):
+        variables["batch_stats"] = ckpt["batch_stats"]
+    other = {k: v for k, v in ckpt.items()
+             if k not in ("params", "batch_stats", "opt_state")}
+    return model, variables, cfg, other
+
+
+def _flatten_with_paths(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_with_paths(v, prefix + k + "."))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def load_satisfied_weights(variables: Dict, checkpoint_path: str,
+                           str_mapping: Optional[Dict[str, str]] = None,
+                           verbose: bool = True) -> Dict:
+    """Partial weight loading with key remapping (reference utils.py:158-192).
+
+    Used to initialize a NAR student from the AR teacher: the reference maps
+    'decoder.bert.' -> 'decoder.' (misc/run.py:274-279); in this framework the
+    disentangled decoder shares the same module path, so the default mapping
+    is identity.
+    """
+    str_mapping = str_mapping or {}
+    ckpt = load_checkpoint(checkpoint_path)
+    src_flat = _flatten_with_paths({"params": ckpt["params"],
+                                    "batch_stats": ckpt.get("batch_stats", {})})
+    dst_flat = _flatten_with_paths({"params": variables["params"],
+                                    "batch_stats": variables.get("batch_stats", {})})
+
+    success = 0
+    new_flat = {}
+    for k, v in dst_flat.items():
+        key = k
+        for src, trg in str_mapping.items():
+            if src in key:
+                key = key.replace(src, trg)
+                break
+        if key in src_flat and src_flat[key].shape == np.asarray(v).shape:
+            new_flat[k] = src_flat[key]
+            success += 1
+        else:
+            new_flat[k] = v
+    if verbose:
+        print("Successfully loading %d/%d parameters" % (success, len(new_flat)))
+
+    def unflatten(flat):
+        root: Dict[str, Any] = {}
+        for path, v in flat.items():
+            parts = path.split(".")
+            node = root
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = v
+        return root
+
+    rebuilt = unflatten(new_flat)
+    out = {"params": rebuilt.get("params", {})}
+    if variables.get("batch_stats"):
+        out["batch_stats"] = rebuilt.get("batch_stats", {})
+    return out

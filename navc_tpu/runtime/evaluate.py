@@ -1,0 +1,120 @@
+"""Evaluation loop: encode -> decode -> sentences -> metrics.
+
+Capability parity with reference misc/run.py run_eval (run.py:99-246):
+encode-only forward, optional teacher encode, batched decoding (AR beam or
+NAR refinement), id->sentence conversion, optional 4-gram dedup, COCO metrics
++ weighted 'Sum', diversity diagnostics, latency protocol (batch_size=1 mean
+wall-clock per translate call).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import Config
+from ..decoding import make_ar_generator, make_nar_generator
+from ..metrics import COCOScorer
+from .crit import kl_length_loss
+from .sentence import analyze_length_novel_unique, duplicate, to_sentence
+from .train_step import make_encode_fn
+
+
+class Evaluator:
+    """Builds the jitted encode/decode pipeline once per config."""
+
+    def __init__(self, cfg: Config, model, teacher_cfg: Optional[Config] = None,
+                 teacher_model=None, dict_mapping: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.model = model
+        self.teacher_model = teacher_model
+        self.dict_mapping = None if dict_mapping is None else jnp.asarray(dict_mapping)
+        self.encode = make_encode_fn(cfg, model)
+        self.teacher_encode = (
+            make_encode_fn(teacher_cfg or cfg, teacher_model)
+            if teacher_model is not None else None)
+        if cfg.decoding_type == "NARFormer":
+            self.generate = make_nar_generator(cfg, model, teacher_model)
+        else:
+            self.generate = make_ar_generator(cfg, model)
+
+    def decode_batch(self, variables, batch, teacher_variables=None):
+        feats = [jnp.asarray(batch["feats_%s" % ch]) for ch in self.cfg.modality.lower()]
+        category = jnp.asarray(batch["category"]) if self.cfg.with_category else None
+        enc = self.encode(variables["params"], variables.get("batch_stats", {}), feats)
+        if self.cfg.decoding_type == "NARFormer":
+            tenc = None
+            if self.teacher_encode is not None and teacher_variables is not None:
+                tenc = self.teacher_encode(
+                    teacher_variables["params"],
+                    teacher_variables.get("batch_stats", {}), feats)
+            hyp = self.generate(variables, enc, category,
+                                teacher_variables, tenc, self.dict_mapping)
+            scores = None
+        else:
+            hyp, scores = self.generate(variables, enc, category)
+        return hyp, scores, enc
+
+
+def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
+             teacher_variables=None, scorer: Optional[COCOScorer] = None,
+             no_score: bool = False, analyze: bool = False,
+             print_sent: bool = False) -> Dict[str, Any]:
+    scorer = scorer or COCOScorer()
+    gt_captions = loader.dataset.get_references()
+    pred_captions: Dict[str, list] = defaultdict(list)
+
+    all_time = 0.0
+    n_batches = 0
+    length_loss_sum, length_loss_n = 0.0, 0
+
+    for batch in loader:
+        t0 = time.time()
+        hyp, _, enc = evaluator.decode_batch(variables, batch, teacher_variables)
+        hyp = np.asarray(jax.device_get(hyp))
+        all_time += time.time() - t0
+        n_batches += 1
+
+        if cfg.decoding_type == "NARFormer" and "length_target" in batch:
+            ll = kl_length_loss(
+                enc["pred_length"], jnp.asarray(batch["length_target"]),
+                jnp.asarray(batch["valid_mask"]))
+            length_loss_sum += float(ll) * batch["num_valid"]
+            length_loss_n += batch["num_valid"]
+
+        for k in range(batch["num_valid"]):
+            vid = batch["video_ids"][k]
+            sent = to_sentence(hyp[k], vocab)
+            if cfg.decoding_type == "NARFormer":
+                sent, _ = duplicate(sent)
+            if print_sent:
+                print("%s: %s" % (vid, sent))
+            pred_captions[vid].append({"image_id": vid, "caption": sent})
+
+    res: Dict[str, Any] = {}
+    if cfg.batch_size == 1 and n_batches:
+        res["latency"] = all_time / n_batches
+
+    if analyze:
+        ave_length, novel, unique, usage, _, gram4 = analyze_length_novel_unique(
+            loader.dataset.captions, pred_captions, vocab,
+            splits=loader.dataset.splits, n=1)
+        res.update({"ave_length": ave_length, "novel": novel, "unique": unique,
+                    "usage": usage, "gram4": gram4})
+
+    if not no_score:
+        valid_score, _ = scorer.score(gt_captions, pred_captions, pred_captions.keys())
+        res.update(valid_score)
+        metric_sum = cfg.metric_sum
+        candidate = [res["Bleu_4"], res["METEOR"], res["ROUGE_L"], res["CIDEr"]]
+        res["Sum"] = sum(v for i, v in enumerate(candidate) if metric_sum[i])
+        if length_loss_n:
+            res["Length Loss"] = length_loss_sum / length_loss_n
+
+    return res

@@ -1,0 +1,162 @@
+"""Full training orchestration.
+
+Capability parity with reference misc/run.py train_network_all (run.py:272-359)
+and run_train (run.py:249-269): teacher-weight warm start, per-epoch
+shuffle -> train -> lr decay -> eval -> checkpoint/k-best/early-stop, then a
+final val+test evaluation (in-process — the reference spawns translate.py as a
+subprocess, run.py:349-356).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data.loader import BatchLoader, get_loader
+from ..models import build_model, init_params
+from .checkpoint import (load_model_and_config, load_satisfied_weights,
+                         save_checkpoint)
+from .crit import compute_losses
+from .evaluate import Evaluator, run_eval
+from .logger import AverageMeter, CsvLogger, KBestQueue
+from .optim import LrSchedule
+from .train_step import TrainState, create_train_state, make_train_step
+
+METRIC_FIELDS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
+                 "METEOR", "ROUGE_L", "CIDEr", "Sum"]
+
+
+def run_train_epoch(cfg: Config, train_step, state: TrainState, loader: BatchLoader,
+                    lr_schedule: LrSchedule, rng_key, logger: Optional[CsvLogger] = None,
+                    epoch: int = -1):
+    """One epoch of jitted steps (reference run_train, run.py:249-269)."""
+    meters: Dict[str, AverageMeter] = {}
+    for i, batch in enumerate(loader):
+        lr = lr_schedule.step_lr()
+        state.opt_state.hyperparams["learning_rate"] = lr
+        rng_key, step_key = jax.random.split(rng_key)
+        device_batch = {k: v for k, v in batch.items()
+                        if isinstance(v, np.ndarray)}
+        state, metrics = train_step(state, device_batch, step_key)
+        n = float(metrics["num_samples"])
+        for name in ("total_loss", "lang_loss", "length_loss"):
+            if name in metrics:
+                meters.setdefault(name, AverageMeter()).update(float(metrics[name]), n)
+        for j in range(2):
+            ck, nk = "word_acc%d_correct" % j, "word_acc%d_count" % j
+            if ck in metrics:
+                meters.setdefault("word_acc%d" % j, AverageMeter()).update(
+                    float(metrics[ck]), float(metrics[nk]), multiply=False)
+        if "ppl_sum" in metrics:
+            meters.setdefault("perplexity_ce", AverageMeter()).update(
+                float(metrics["ppl_sum"]), float(metrics["ppl_count"]), multiply=False)
+
+    info = {k: m.avg for k, m in meters.items()}
+    if "perplexity_ce" in info:
+        info["perplexity"] = float(np.exp(min(info.pop("perplexity_ce"), 50.0)))
+    if logger is not None:
+        logger.write_text("\t".join("%10s: %05.3f" % (k, v) for k, v in info.items()))
+    return state, info, rng_key
+
+
+def train_network_all(cfg: Config, workdir: Optional[str] = None,
+                      info_corpus=None, references=None, in_memory_feats=None,
+                      verbose: bool = True) -> Dict[str, Any]:
+    """End-to-end training; returns {'state', 'best_res', 'test_res', ...}."""
+    workdir = workdir or cfg.checkpoint_path or "./experiments/run"
+    os.makedirs(workdir, exist_ok=True)
+    cfg = cfg.replace(checkpoint_path=workdir)
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    variables = init_params(model, rng, cfg)
+
+    # teacher warm start + rescoring teacher (reference run.py:274-291)
+    teacher_model, teacher_variables, teacher_cfg = None, None, None
+    if cfg.load_teacher_weights and cfg.teacher_path and os.path.exists(cfg.teacher_path):
+        variables = load_satisfied_weights(variables, cfg.teacher_path, verbose=verbose)
+    if cfg.with_teacher and cfg.method in ("NAB", "NACF") and cfg.teacher_path \
+            and os.path.exists(cfg.teacher_path):
+        teacher_model, teacher_variables, teacher_cfg, _ = \
+            load_model_and_config(cfg.teacher_path)
+
+    state, tx = create_train_state(cfg, model, variables)
+    train_step = make_train_step(cfg, model, tx)
+    lr_schedule = LrSchedule.from_config(cfg)
+
+    loader_kw = dict(info_corpus=info_corpus, in_memory_feats=in_memory_feats)
+    train_loader = get_loader(cfg, "train", **loader_kw)
+    vali_loader = get_loader(cfg, "validate", **loader_kw)
+    test_loader = get_loader(cfg, "test", **loader_kw)
+    if references is not None:
+        vali_loader.dataset.set_references(references)
+        test_loader.dataset.set_references(references)
+    vocab = vali_loader.dataset.get_vocab()
+
+    logger = CsvLogger(
+        filepath=workdir, filename="trainning_record.csv",
+        fieldsnames=["epoch", "train_loss"] + METRIC_FIELDS)
+    best_model = KBestQueue(
+        k_best_model=cfg.k_best_model,
+        folder_path=os.path.join(workdir, "tmp_models"),
+        standard=cfg.standard)
+
+    evaluator = Evaluator(cfg, model, teacher_cfg, teacher_model)
+    rng_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    history = []
+    for epoch in range(cfg.epochs):
+        train_loader.dataset.shuffle()
+        if verbose:
+            logger.write_text("epoch %d lr=%g" % (epoch, lr_schedule.get_lr()))
+        state, train_info, rng_key = run_train_epoch(
+            cfg, train_step, state, train_loader, lr_schedule, rng_key,
+            logger if verbose else None, epoch)
+        lr_schedule.epoch_update()
+
+        if (epoch + 1) > cfg.start_eval_epoch and (epoch + 1) % cfg.save_checkpoint_every == 0:
+            eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
+            res = run_eval(cfg, evaluator, eval_vars, vali_loader, vocab,
+                           teacher_variables=teacher_variables, analyze=True)
+            res["train_loss"] = train_info.get("total_loss", 0.0)
+            res["epoch"] = epoch
+            history.append(res)
+            logger.write(res)
+
+            ckpt = {
+                "epoch": epoch + 1,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": None,  # kept small; resume support saves it below
+                "validate_result": res,
+                "settings": cfg,
+            }
+            save_checkpoint(ckpt, workdir, "checkpoint.ckpt")
+
+            def _save_best(dst, _ckpt=ckpt):
+                save_checkpoint(_ckpt, os.path.dirname(dst), os.path.basename(dst))
+
+            keep, info = best_model.check(res, workdir, cfg.tolerence, _save_best)
+            if verbose:
+                logger.write_text(str(info))
+            if not keep:
+                break
+
+    out: Dict[str, Any] = {"state": state, "history": history,
+                           "best_res": best_model.best_res}
+
+    if not cfg.no_test:
+        best_path = os.path.join(workdir, "best.ckpt")
+        if os.path.exists(best_path):
+            bmodel, bvars, bcfg, _ = load_model_and_config(best_path)
+            bevaluator = Evaluator(bcfg, bmodel, teacher_cfg, teacher_model)
+        else:
+            bvars = {"params": state.params, "batch_stats": state.batch_stats}
+            bevaluator = evaluator
+        out["test_res"] = run_eval(cfg, bevaluator, bvars, test_loader, vocab,
+                                   teacher_variables=teacher_variables, analyze=True)
+    return out

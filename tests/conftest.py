@@ -3,10 +3,15 @@ sharding tests work without TPU hardware (SURVEY.md §4 test strategy)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon TPU plugin overrides JAX_PLATFORMS at import time; force cpu here
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
