@@ -1,0 +1,99 @@
+"""Benchmark: NACF decode throughput (captions/sec/chip) on real hardware.
+
+Protocol (mirrors the reference latency protocol, translate.py:149-151 +
+misc/run.py:139-143: encode outside the timed region, time the translate
+call): the flagship NACF configuration at reference scale — d=512, 1 decoder
+layer, 8 heads, FFN 2048, vocab 10048, max_len 30 — with the default decode
+cost: 5 mask-predict iterations x length-beam 6, +1 coarse-template pass,
++1 AR-teacher rescoring forward (BASELINE.md decode-cost table).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against the measured reference implementation throughput
+recorded in BASELINE_MEASURED.json (produced by
+scripts/measure_reference_baseline.py on this machine's torch backend — CPU
+here, since the environment has no CUDA; the file documents its hardware).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_flagship():
+    import jax
+    import jax.numpy as jnp
+
+    from navc_tpu import constants as C
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding import make_nar_generator
+    from navc_tpu.models import build_model, init_params
+
+    over = dict(vocab_size=10048, batch_size=64)
+    cfg = default_config("NACF", dataset="MSRVTT", **over)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+
+    tcfg = default_config("ARB", dataset="MSRVTT", **over)
+    teacher = build_model(tcfg)
+    tvars = init_params(teacher, jax.random.PRNGKey(1), tcfg)
+
+    gen = make_nar_generator(cfg, model, teacher)
+    return cfg, model, variables, teacher, tvars, gen
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cfg, model, variables, teacher, tvars, gen = build_flagship()
+    b = cfg.batch_size
+    rng = np.random.RandomState(0)
+    feats = [jnp.asarray(rng.randn(b, cfg.n_frames, d).astype(np.float32))
+             for d in cfg.modality_dims]
+    category = jnp.asarray(rng.randint(0, cfg.num_category, size=(b, 1)), np.int32)
+
+    from navc_tpu.runtime.train_step import make_encode_fn
+    encode = make_encode_fn(cfg, model)
+    tencode = make_encode_fn(cfg, teacher)
+    enc = jax.block_until_ready(
+        encode(variables["params"], variables.get("batch_stats", {}), feats))
+    tenc = jax.block_until_ready(
+        tencode(tvars["params"], tvars.get("batch_stats", {}), feats))
+
+    # compile + warmup; np.asarray forces a host round-trip — the experimental
+    # axon tunnel's block_until_ready does not reliably wait for execution
+    for _ in range(3):
+        np.asarray(gen(variables, enc, category, tvars, tenc, None))
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = np.asarray(gen(variables, enc, category, tvars, tenc, None))
+    dt = time.perf_counter() - t0
+    captions_per_sec = b * n_iters / dt
+
+    baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f).get("captions_per_sec")
+
+    result = {
+        "metric": "NACF MSR-VTT-scale decode throughput "
+                  "(d=512,vocab=10048,T=5,lbs=6,CT,teacher-rescore,B=64)",
+        "value": round(captions_per_sec, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(captions_per_sec / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

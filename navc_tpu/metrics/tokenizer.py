@@ -59,12 +59,15 @@ def tokenize_corpus(captions_for_image: Dict[str, List[dict]]) -> Dict[str, List
     (ptbtokenizer.py:28-87).
     """
     try:
-        from ..native import tokenizer as native_tokenizer  # optional C++ path
-        if native_tokenizer.available():
-            return native_tokenizer.tokenize_corpus(captions_for_image)
+        from ..native import lib as native  # optional C++ fast path
+        if native.available():
+            out: Dict[str, List[str]] = {}
+            for vid, caps in captions_for_image.items():
+                out[vid] = [" ".join(native.tokenize(c["caption"])) for c in caps]
+            return out
     except Exception:
         pass
-    out: Dict[str, List[str]] = {}
+    out = {}
     for vid, caps in captions_for_image.items():
         out[vid] = [" ".join(ptb_tokenize(c["caption"])) for c in caps]
     return out

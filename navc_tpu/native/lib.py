@@ -1,0 +1,106 @@
+"""ctypes bindings for the native metric library (libnavc_metrics.so).
+
+Builds lazily via make on first use if the shared object is missing and a
+compiler is available; all callers fall back to the pure-Python
+implementations when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libnavc_metrics.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _HERE], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.navc_tokenize.restype = ctypes.c_void_p
+        lib.navc_tokenize.argtypes = [ctypes.c_char_p]
+        lib.navc_bleu_corpus.restype = ctypes.c_void_p
+        lib.navc_bleu_corpus.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int)]
+        lib.navc_cider_corpus.restype = ctypes.c_void_p
+        lib.navc_cider_corpus.argtypes = lib.navc_bleu_corpus.argtypes
+        lib.navc_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except OSError:
+        return None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _take_string(lib, ptr) -> str:
+    try:
+        return ctypes.cast(ptr, ctypes.c_char_p).value.decode("utf-8")
+    finally:
+        lib.navc_free(ptr)
+
+
+def tokenize(text: str) -> List[str]:
+    lib = get_lib()
+    assert lib is not None
+    ptr = lib.navc_tokenize(text.encode("utf-8"))
+    out = _take_string(lib, ptr)
+    return out.split() if out else []
+
+
+def _pack_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]):
+    vids = list(hyps.keys())
+    hyp_arr = (ctypes.c_char_p * len(vids))(
+        *[hyps[v][0].encode("utf-8") for v in vids])
+    flat_refs: List[bytes] = []
+    offsets = [0]
+    for v in vids:
+        flat_refs.extend(r.encode("utf-8") for r in refs[v])
+        offsets.append(len(flat_refs))
+    ref_arr = (ctypes.c_char_p * len(flat_refs))(*flat_refs)
+    off_arr = (ctypes.c_int * len(offsets))(*offsets)
+    return vids, hyp_arr, ref_arr, off_arr
+
+
+def bleu_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
+                ) -> List[float]:
+    lib = get_lib()
+    assert lib is not None
+    vids, hyp_arr, ref_arr, off_arr = _pack_corpus(hyps, refs)
+    ptr = lib.navc_bleu_corpus(hyp_arr, len(vids), ref_arr, off_arr)
+    return json.loads(_take_string(lib, ptr))
+
+
+def cider_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
+                 ) -> Tuple[float, List[float]]:
+    lib = get_lib()
+    assert lib is not None
+    vids, hyp_arr, ref_arr, off_arr = _pack_corpus(hyps, refs)
+    ptr = lib.navc_cider_corpus(hyp_arr, len(vids), ref_arr, off_arr)
+    arr = json.loads(_take_string(lib, ptr))
+    return arr[0], arr[1:]

@@ -1,0 +1,344 @@
+// Native caption-metric kernels: PTB-style tokenizer, corpus BLEU, CIDEr.
+//
+// TPU-native replacement for the reference's Java subprocesses (Stanford PTB
+// tokenizer jar + METEOR jar, both absent from the reference checkout) and
+// its pure-Python BLEU/CIDEr scorers: the evaluation loop tokenizes and
+// scores thousands of captions per epoch, and this library keeps that
+// host-side work off the Python interpreter.
+//
+// C API (ctypes-friendly): every function returns a malloc'd C string the
+// caller releases with navc_free. Corpus inputs are arrays of UTF-8 strings.
+//
+// Algorithms mirror navc_tpu/metrics/{tokenizer,bleu,cider}.py exactly; the
+// Python test suite cross-checks both backends on the same corpora.
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Tokenizer
+// ---------------------------------------------------------------------------
+
+const std::unordered_set<std::string>& punctuations() {
+  static const std::unordered_set<std::string> kPunct = {
+      "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+      ".", "?", "!", ",", ":", "-", "--", "...", ";"};
+  return kPunct;
+}
+
+bool is_space(char c) { return c == ' ' || c == '\t' || c == '\n' || c == '\r'; }
+
+// Split one caption into PTB-ish tokens, lowercase, drop punctuation.
+std::vector<std::string> tokenize(const std::string& text) {
+  std::string s;
+  s.reserve(text.size() + 8);
+  // normalize quotes like the Python path
+  for (size_t i = 0; i < text.size(); ++i) {
+    if (text[i] == '"') { s += " '' "; } else { s += text[i]; }
+  }
+
+  // insert spaces around punctuation runs (..., --, single marks)
+  std::string spaced;
+  spaced.reserve(s.size() * 2);
+  for (size_t i = 0; i < s.size();) {
+    char c = s[i];
+    if (c == '.' && i + 2 < s.size() && s[i + 1] == '.' && s[i + 2] == '.') {
+      spaced += " ... ";
+      i += 3;
+    } else if (c == '-' && i + 1 < s.size() && s[i + 1] == '-') {
+      spaced += " -- ";
+      i += 2;
+    } else if (strchr(";@#$%&?![](){}<>,", c) != nullptr) {
+      spaced += ' ';
+      spaced += c;
+      spaced += ' ';
+      i += 1;
+    } else if (c == ':' && !(i + 1 < s.size() && isdigit(s[i + 1]))) {
+      spaced += " : ";
+      i += 1;
+    } else if (c == '.' && (i + 1 == s.size() || is_space(s[i + 1]) ||
+                            s[i + 1] == '"' || s[i + 1] == '\'')) {
+      // sentence-final period
+      spaced += " . ";
+      i += 1;
+    } else {
+      spaced += c;
+      i += 1;
+    }
+  }
+
+  // word-level pass: contractions + possessives, lowercase, drop punctuation
+  std::vector<std::string> raw;
+  std::string cur;
+  for (char c : spaced) {
+    if (is_space(c)) {
+      if (!cur.empty()) raw.push_back(cur);
+      cur.clear();
+    } else {
+      cur += static_cast<char>(tolower(static_cast<unsigned char>(c)));
+    }
+  }
+  if (!cur.empty()) raw.push_back(cur);
+
+  std::vector<std::string> out;
+  for (auto& w : raw) {
+    // n't / 'll / 're / 've / 's / 'm / 'd splits
+    auto try_suffix = [&](const char* suf) -> bool {
+      size_t n = strlen(suf);
+      if (w.size() > n && w.compare(w.size() - n, n, suf) == 0) {
+        std::string head = w.substr(0, w.size() - n);
+        if (!head.empty()) out.push_back(head);
+        out.push_back(suf);
+        return true;
+      }
+      return false;
+    };
+    if (w == "cannot") { out.push_back("can"); out.push_back("not"); continue; }
+    if (try_suffix("n't") || try_suffix("'ll") || try_suffix("'re") ||
+        try_suffix("'ve") || try_suffix("'s") || try_suffix("'m") ||
+        try_suffix("'d")) {
+      continue;
+    }
+    out.push_back(w);
+  }
+
+  std::vector<std::string> filtered;
+  for (auto& w : out) {
+    if (!punctuations().count(w)) filtered.push_back(w);
+  }
+  return filtered;
+}
+
+// ---------------------------------------------------------------------------
+// n-gram helpers
+// ---------------------------------------------------------------------------
+
+using Counts = std::unordered_map<std::string, int>;
+
+std::vector<std::string> split_ws(const std::string& s) {
+  std::vector<std::string> t;
+  std::string cur;
+  for (char c : s) {
+    if (is_space(c)) {
+      if (!cur.empty()) t.push_back(cur);
+      cur.clear();
+    } else {
+      cur += c;
+    }
+  }
+  if (!cur.empty()) t.push_back(cur);
+  return t;
+}
+
+// joined-token n-gram key; k encoded by number of '\x1f' separators
+Counts ngram_counts(const std::vector<std::string>& toks, int n) {
+  Counts c;
+  for (int k = 1; k <= n; ++k) {
+    for (int i = 0; i + k <= static_cast<int>(toks.size()); ++i) {
+      std::string key;
+      for (int j = 0; j < k; ++j) {
+        if (j) key += '\x1f';
+        key += toks[i + j];
+      }
+      c[key] += 1;
+    }
+  }
+  return c;
+}
+
+int ngram_order(const std::string& key) {
+  return 1 + static_cast<int>(std::count(key.begin(), key.end(), '\x1f'));
+}
+
+char* dup_string(const std::string& s) {
+  char* out = static_cast<char*>(malloc(s.size() + 1));
+  memcpy(out, s.c_str(), s.size() + 1);
+  return out;
+}
+
+std::string json_array(const std::vector<double>& v) {
+  std::string s = "[";
+  char buf[64];
+  for (size_t i = 0; i < v.size(); ++i) {
+    snprintf(buf, sizeof(buf), "%.12g", v[i]);
+    if (i) s += ",";
+    s += buf;
+  }
+  s += "]";
+  return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+void navc_free(char* p) { free(p); }
+
+// Tokenize one caption -> space-joined tokens.
+char* navc_tokenize(const char* text) {
+  auto toks = tokenize(text ? text : "");
+  std::string joined;
+  for (size_t i = 0; i < toks.size(); ++i) {
+    if (i) joined += ' ';
+    joined += toks[i];
+  }
+  return dup_string(joined);
+}
+
+// Corpus BLEU-1..4. hyps[i] scored against refs[ref_off[i] .. ref_off[i+1]).
+// Returns JSON [b1,b2,b3,b4].
+char* navc_bleu_corpus(const char** hyps, int n, const char** refs,
+                       const int* ref_off) {
+  const int N = 4;
+  const double kSmall = 1e-9, kTiny = 1e-15;
+  double total_guess[4] = {0}, total_correct[4] = {0};
+  double total_testlen = 0, total_reflen = 0;
+
+  for (int i = 0; i < n; ++i) {
+    auto h = split_ws(hyps[i]);
+    int testlen = static_cast<int>(h.size());
+    total_testlen += testlen;
+
+    int rbeg = ref_off[i], rend = ref_off[i + 1];
+    Counts max_ref;
+    double reflen = 0;
+    if (rend - rbeg == 1) {
+      auto rt = split_ws(refs[rbeg]);
+      reflen = static_cast<double>(rt.size());
+      for (auto& kv : ngram_counts(rt, N)) {
+        max_ref[kv.first] = std::max(max_ref[kv.first], kv.second);
+      }
+    } else {
+      int best_d = 1 << 30, best_l = 0;
+      for (int r = rbeg; r < rend; ++r) {
+        auto rt = split_ws(refs[r]);
+        int l = static_cast<int>(rt.size());
+        int d = std::abs(l - testlen);
+        // min over (|l - testlen|, l) tuples, matching python tuple order
+        if (d < best_d || (d == best_d && l < best_l)) {
+          best_d = d;
+          best_l = l;
+        }
+        for (auto& kv : ngram_counts(rt, N)) {
+          max_ref[kv.first] = std::max(max_ref[kv.first], kv.second);
+        }
+      }
+      reflen = best_l;
+    }
+    total_reflen += reflen;
+
+    auto hc = ngram_counts(h, N);
+    for (int k = 0; k < N; ++k) {
+      total_guess[k] += std::max(0, testlen - k);
+    }
+    for (auto& kv : hc) {
+      int k = ngram_order(kv.first) - 1;
+      auto it = max_ref.find(kv.first);
+      total_correct[k] += std::min(kv.second, it == max_ref.end() ? 0 : it->second);
+    }
+  }
+
+  std::vector<double> scores;
+  double b = 1.0;
+  double ratio = (total_testlen + kTiny) / (total_reflen + kSmall);
+  for (int k = 0; k < N; ++k) {
+    b *= (total_correct[k] + kTiny) / (total_guess[k] + kSmall);
+    double s = std::pow(b, 1.0 / (k + 1));
+    if (ratio < 1) s *= std::exp(1 - 1 / ratio);
+    scores.push_back(s);
+  }
+  return dup_string(json_array(scores));
+}
+
+// Corpus CIDEr. Same layout as navc_bleu_corpus.
+// Returns JSON [mean, per_image...].
+char* navc_cider_corpus(const char** hyps, int n, const char** refs,
+                        const int* ref_off) {
+  const int N = 4;
+  const double kSigma = 6.0;
+
+  std::vector<Counts> ctest(n);
+  std::vector<std::vector<Counts>> crefs(n);
+  for (int i = 0; i < n; ++i) {
+    ctest[i] = ngram_counts(split_ws(hyps[i]), N);
+    for (int r = ref_off[i]; r < ref_off[i + 1]; ++r) {
+      crefs[i].push_back(ngram_counts(split_ws(refs[r]), N));
+    }
+  }
+
+  std::unordered_map<std::string, double> df;
+  for (auto& ref_set : crefs) {
+    std::unordered_set<std::string> seen;
+    for (auto& ref : ref_set) {
+      for (auto& kv : ref) seen.insert(kv.first);
+    }
+    for (auto& g : seen) df[g] += 1.0;
+  }
+  double ref_len = std::log(static_cast<double>(n));
+
+  struct Vec {
+    std::vector<std::unordered_map<std::string, double>> v;
+    double norm[4];
+    int length;
+  };
+  auto counts2vec = [&](const Counts& cnts) {
+    Vec out;
+    out.v.resize(N);
+    for (int k = 0; k < N; ++k) out.norm[k] = 0;
+    out.length = 0;
+    for (auto& kv : cnts) {
+      double d = 0.0;
+      auto it = df.find(kv.first);
+      if (it != df.end()) d = std::log(std::max(1.0, it->second));
+      int k = ngram_order(kv.first) - 1;
+      double w = kv.second * (ref_len - d);
+      out.v[k][kv.first] = w;
+      out.norm[k] += w * w;
+      if (k == 1) out.length += kv.second;  // protocol quirk: bigram count
+    }
+    for (int k = 0; k < N; ++k) out.norm[k] = std::sqrt(out.norm[k]);
+    return out;
+  };
+
+  std::vector<double> out;
+  out.push_back(0);  // placeholder mean
+  for (int i = 0; i < n; ++i) {
+    Vec vh = counts2vec(ctest[i]);
+    double score[4] = {0, 0, 0, 0};
+    for (auto& ref : crefs[i]) {
+      Vec vr = counts2vec(ref);
+      double delta = static_cast<double>(vh.length - vr.length);
+      double pen = std::exp(-(delta * delta) / (2 * kSigma * kSigma));
+      for (int k = 0; k < N; ++k) {
+        double val = 0;
+        for (auto& kv : vh.v[k]) {
+          auto it = vr.v[k].find(kv.first);
+          if (it != vr.v[k].end()) {
+            val += std::min(kv.second, it->second) * it->second;
+          }
+        }
+        if (vh.norm[k] != 0 && vr.norm[k] != 0) val /= vh.norm[k] * vr.norm[k];
+        score[k] += val * pen;
+      }
+    }
+    double avg = (score[0] + score[1] + score[2] + score[3]) / N /
+                 std::max<size_t>(1, crefs[i].size()) * 10.0;
+    out.push_back(avg);
+  }
+  double mean = 0;
+  for (int i = 1; i <= n; ++i) mean += out[i];
+  out[0] = n ? mean / n : 0.0;
+  return dup_string(json_array(out));
+}
+
+}  // extern "C"
