@@ -49,12 +49,35 @@ class NARContext(NamedTuple):
     dict_mapping: Optional[jnp.ndarray]  # (vocab,) student->teacher id map
 
 
-def _predict_fn(model, variables, ctx: NARContext) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+def _predict_fn(model, variables, ctx: NARContext,
+                cfg: Optional[Config] = None) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """One NAR decoder forward -> (argmax ids, max probs).
 
     Reference generate_step_with_prob + generate_non_autoregressive
     (algorithms.py:7-15, 143-167) minus the pad overwrite (applied by caller).
+
+    With ``cfg.use_pallas`` the vocab projection + softmax-argmax runs through
+    the fused online-softmax Pallas kernel (navc_tpu.ops.vocab_fused), which
+    never materializes the (N, V) logits in HBM — the dominant memory traffic
+    of the refinement loop.
     """
+    use_pallas = (cfg is not None and cfg.use_pallas and not cfg.tie_weights)
+
+    if use_pallas:
+        from ..ops.vocab_fused import fused_project_argmax
+        w = variables["params"]["tgt_word_prj"]["kernel"]
+        interpret = jax.default_backend() == "cpu"
+
+        def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            hidden, _, _ = model.apply(
+                variables, tokens, ctx.enc_output, ctx.category, "NARFormer",
+                True, method=lambda m, *a: m.decode(*a))
+            n, l, hdim = hidden.shape
+            ids, maxp = fused_project_argmax(
+                hidden.reshape(n * l, hdim), w, interpret=interpret)
+            return ids.reshape(n, l), maxp.reshape(n, l)
+        return predict
+
     def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         logprobs, _ = model.apply(
             variables, tokens, ctx.enc_output, ctx.category, "NARFormer", True,
@@ -309,7 +332,7 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
             teacher_category=None if category is None else enlarge(category, lbs),
             dict_mapping=dict_mapping,
         )
-        predict = _predict_fn(model, variables, ctx)
+        predict = _predict_fn(model, variables, ctx, cfg)
         teacher_score = None
         if use_teacher and teacher_variables is not None and ctx.teacher_enc_output is not None:
             teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx)

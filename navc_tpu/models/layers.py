@@ -185,9 +185,9 @@ class BertSelfAttention(nn.Module):
         if self.dim_hidden % self.num_attention_heads != 0:
             raise ValueError("dim_hidden %d not divisible by heads %d"
                              % (self.dim_hidden, self.num_attention_heads))
-        self.query = Dense(self.dim_hidden, name="query")
-        self.key = Dense(self.dim_hidden, name="key")
-        self.value = Dense(self.dim_hidden, name="value")
+        self.query = Dense(self.dim_hidden, dtype=self.dtype, name="query")
+        self.key = Dense(self.dim_hidden, dtype=self.dtype, name="key")
+        self.value = Dense(self.dim_hidden, dtype=self.dtype, name="value")
         self.dropout = nn.Dropout(self.attention_probs_dropout_prob)
 
     def __call__(self, q_in, k_in, v_in, attention_mask=None,
@@ -214,10 +214,12 @@ class BertSelfOutput(nn.Module):
     hidden_dropout_prob: float = 0.5
     with_layernorm: bool = False
     layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states, input_tensor=None, deterministic: bool = True):
-        hidden_states = Dense(self.dim_hidden, name="dense")(hidden_states)
+        hidden_states = Dense(self.dim_hidden, dtype=self.dtype, name="dense")(
+            hidden_states).astype(jnp.float32)
         hidden_states = nn.Dropout(self.hidden_dropout_prob)(hidden_states, deterministic=deterministic)
         if input_tensor is not None:
             hidden_states = hidden_states + input_tensor
@@ -244,7 +246,8 @@ class BertAttention(nn.Module):
             self.attention_probs_dropout_prob, dtype=self.dtype, name="self")
         self.output = BertSelfOutput(
             self.dim_hidden, self.hidden_dropout_prob,
-            self.with_layernorm, self.layer_norm_eps, name="output")
+            self.with_layernorm, self.layer_norm_eps, dtype=self.dtype,
+            name="output")
 
     def __call__(self, q, k, v, attention_mask=None, deterministic=True,
                  output_attentions=False):
@@ -258,11 +261,13 @@ class BertIntermediate(nn.Module):
 
     intermediate_size: int
     hidden_act: str = "gelu_new"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states):
-        hidden_states = Dense(self.intermediate_size, name="dense")(hidden_states)
-        return ACT2FN[self.hidden_act](hidden_states)
+        hidden_states = Dense(self.intermediate_size, dtype=self.dtype,
+                              name="dense")(hidden_states)
+        return ACT2FN[self.hidden_act](hidden_states.astype(jnp.float32))
 
 
 class BertOutput(nn.Module):
@@ -272,10 +277,12 @@ class BertOutput(nn.Module):
     hidden_dropout_prob: float = 0.5
     with_layernorm: bool = False
     layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hidden_states, input_tensor, deterministic: bool = True):
-        hidden_states = Dense(self.dim_hidden, name="dense")(hidden_states)
+        hidden_states = Dense(self.dim_hidden, dtype=self.dtype, name="dense")(
+            hidden_states).astype(jnp.float32)
         drop = nn.Dropout(self.hidden_dropout_prob)
         hidden_states = drop(hidden_states, deterministic=deterministic)
         hidden_states = hidden_states + input_tensor
@@ -318,9 +325,12 @@ class BertLayer(nn.Module):
             self.pos_attention_mod = BertAttention(with_residual=True, name="pos_attention", **kw)
         if self.is_decoder_layer:
             self.attend_to_enc_output = BertAttention(with_residual=True, name="attend_to_enc_output", **kw)
-        self.intermediate = BertIntermediate(self.intermediate_size, self.hidden_act, name="intermediate")
+        self.intermediate = BertIntermediate(
+            self.intermediate_size, self.hidden_act, dtype=self.dtype,
+            name="intermediate")
         self.output = BertOutput(self.dim_hidden, self.hidden_dropout_prob,
-                                 self.with_layernorm, self.layer_norm_eps, name="output")
+                                 self.with_layernorm, self.layer_norm_eps,
+                                 dtype=self.dtype, name="output")
 
     def __call__(self, hidden_states, non_pad_mask=None, attention_mask=None,
                  enc_output=None, attend_to_enc_output_mask=None,

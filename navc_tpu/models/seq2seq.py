@@ -83,7 +83,10 @@ class Seq2Seq(nn.Module):
             name="decoder",
         )
         if not cfg.tie_weights:
-            self.tgt_word_prj = Dense(cfg.vocab_size, use_bias=False, name="tgt_word_prj")
+            self.tgt_word_prj = Dense(
+                cfg.vocab_size, use_bias=False,
+                dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+                name="tgt_word_prj")
         else:
             self.tie_bias = self.param(
                 "tgt_word_prj_bias", nn.initializers.zeros, (cfg.vocab_size,))
@@ -111,11 +114,15 @@ class Seq2Seq(nn.Module):
             deterministic=deterministic, output_attentions=output_attentions)
 
     def project(self, hidden: jnp.ndarray) -> jnp.ndarray:
-        """Vocab logits; bias-free unless tied (reference seq2seq.py:27-33)."""
+        """Vocab logits; bias-free unless tied (reference seq2seq.py:27-33).
+
+        Logits return in float32 regardless of the matmul dtype so the
+        log_softmax and loss math stay full-precision.
+        """
         if not self.cfg.tie_weights:
-            return self.tgt_word_prj(hidden)
+            return self.tgt_word_prj(hidden).astype(jnp.float32)
         table = self.decoder.embedding.word_embeddings.embedding
-        return hidden @ table.T + self.tie_bias
+        return (hidden @ table.T + self.tie_bias).astype(jnp.float32)
 
     def decode_logprobs(self, tgt_seq, enc_output, category=None,
                         decoding_type: Optional[str] = None,

@@ -1,0 +1,117 @@
+"""Pallas-fused vocab projection + online-softmax argmax/gather.
+
+The NAR refinement hot loop needs only three scalars per token position from
+the vocab projection (reference algorithms.py:7-15 generate_step_with_prob):
+the argmax token id, its softmax probability, and (for teacher rescoring,
+algorithms.py:196-200) the probability of a given token. Materializing the
+full (N, V) logits through HBM to compute them costs ~N*V*4 bytes of write +
+read per forward — the dominant HBM traffic of the whole decode at
+V ≈ 10k.
+
+This kernel streams vocab tiles through VMEM with an online-softmax running
+(max, sum-exp, argmax[, target-logit]) accumulator, so the logits never touch
+HBM. FLOPs run on the MXU via jnp.dot with f32 accumulation.
+
+Layout: grid (N/TN, V/TV); the vocab axis is innermost so accumulators in
+VMEM scratch carry across vocab tiles of the same token tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(h_ref, w_ref, ids_ref, maxp_ref,
+            m_scr, s_scr, amax_scr, *, tv: int, v_real: int):
+    j = pl.program_id(1)
+    scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    # padded vocab columns must never win nor contribute to the sum-exp
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
+    scores = jnp.where(col < v_real, scores, NEG_INF)
+    tile_max = jnp.max(scores, axis=-1, keepdims=True)           # (TN, 1)
+    tile_arg = (jnp.argmax(scores, axis=-1)[:, None] + j * tv)   # (TN, 1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = tile_max
+        s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
+        amax_scr[:] = tile_arg.astype(jnp.int32)
+
+    @pl.when(j > 0)
+    def _update():
+        m_old = m_scr[:]
+        new_m = jnp.maximum(m_old, tile_max)
+        s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
+                    + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
+        better = tile_max > m_old
+        amax_scr[:] = jnp.where(better, tile_arg.astype(jnp.int32), amax_scr[:])
+        m_scr[:] = new_m
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        ids_ref[:] = amax_scr[:]
+        maxp_ref[:] = 1.0 / s_scr[:]  # max prob = exp(m - m) / sum-exp
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tv", "interpret"))
+def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
+                         tn: int = 256, tv: int = 2048,
+                         interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """argmax ids + max softmax prob of h @ w without materializing logits.
+
+    h: (N, D) activations; w: (D, V) projection. Returns (ids (N,) int32,
+    max_prob (N,) float32). Matmul runs in bf16 with f32 accumulation.
+    """
+    n, d = h.shape
+    d2, v = w.shape
+    assert d == d2
+    n_pad = _round_up(max(n, 8), tn)
+    v_pad = _round_up(v, tv)
+    h_p = jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16))
+    w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
+
+    grid = (n_pad // tn, v_pad // tv)
+    ids, maxp = pl.pallas_call(
+        functools.partial(_kernel, tv=tv, v_real=v),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(h_p, w_p)
+
+    return ids[:n, 0], maxp[:n, 0]
+
+
+def reference_project_argmax(h, w):
+    """jnp reference for tests: full materialization."""
+    logits = (h.astype(jnp.float32) @ w.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.argmax(probs, -1).astype(jnp.int32), jnp.max(probs, -1)

@@ -27,6 +27,7 @@ def small_cfg(method="NAB", **kw):
         vocab_size=30, dim_hidden=16, num_attention_heads=2,
         intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
         max_len=10, batch_size=2, length_beam_size=3, iterations=3,
+        compute_dtype="float32",
     )
     over.update(kw)
     return default_config(method, dataset="MSVD", **over)

@@ -17,7 +17,7 @@ def small_cfg(method="NAB", dataset="MSVD", **kw):
     over = dict(
         vocab_size=50, dim_hidden=16, num_attention_heads=2,
         intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
-        max_len=10, batch_size=2,
+        max_len=10, batch_size=2, compute_dtype="float32",
     )
     over.update(kw)
     return default_config(method, dataset=dataset, **over)

@@ -21,6 +21,7 @@ def tiny_cfg(method, tmp_path, **kw):
         intermediate_size=32, n_frames=4, n_total_frames=10,
         dim_i=12, dim_m=10, modality="mi", max_len=8, batch_size=4,
         epochs=2, hidden_dropout_prob=0.1, encoder_dropout=0.1,
+        compute_dtype="float32",
         base_checkpoint_path=str(tmp_path), checkpoint_path="",
     )
     # teacher_path is resolved by the --default preset layer; re-apply the
