@@ -33,7 +33,7 @@ def build_flagship():
     from navc_tpu.decoding import make_nar_generator
     from navc_tpu.models import build_model, init_params
 
-    over = dict(vocab_size=10048, batch_size=64)
+    over = dict(vocab_size=10048, batch_size=512, use_pallas=True)
     cfg = default_config("NACF", dataset="MSRVTT", **over)
     model = build_model(cfg)
     variables = init_params(model, jax.random.PRNGKey(0), cfg)
@@ -86,7 +86,7 @@ def main():
 
     result = {
         "metric": "NACF MSR-VTT-scale decode throughput "
-                  "(d=512,vocab=10048,T=5,lbs=6,CT,teacher-rescore,B=64)",
+                  "(d=512,vocab=10048,T=5,lbs=6,CT,teacher-rescore,B=512,pallas)",
         "value": round(captions_per_sec, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(captions_per_sec / baseline, 2) if baseline else None,

@@ -97,12 +97,18 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext):
             t = ctx.dict_mapping[t]
         bos = jnp.full((t.shape[0], 1), C.BOS, t.dtype)
         inp = jnp.concatenate([bos, t], axis=1)[:, :-1]
-        logprobs, _ = teacher_model.apply(
+        # gather the logit + logsumexp instead of materializing the full
+        # softmax: prob(y_t) = exp(logit[y_t] - logsumexp(logits))
+        hidden, _, _ = teacher_model.apply(
             teacher_variables, inp, ctx.teacher_enc_output, ctx.teacher_category,
-            "ARFormer", True, method=lambda m, *a: m.decode_logprobs(*a))
-        probs = jnp.exp(logprobs)
-        gathered = jnp.take_along_axis(probs, t[..., None].astype(jnp.int32), axis=-1)[..., 0]
-        return jnp.where(pad_mask, 1.0, gathered)
+            "ARFormer", True, method=lambda m, *a: m.decode(*a))
+        logits = teacher_model.apply(
+            teacher_variables, hidden, method=lambda m, h: m.project(h))
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        gathered = jnp.take_along_axis(
+            logits, t[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        probs = jnp.exp(gathered - lse)
+        return jnp.where(pad_mask, 1.0, probs)
     return score
 
 
