@@ -170,10 +170,15 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         norm = state.fin_scores / jnp.power(
             jnp.maximum(state.fin_lens, 1).astype(jnp.float32), alpha)
         norm = jnp.where(valid, norm, -jnp.inf)
-        best = jnp.argmax(norm, axis=1)  # (B,)
-        best_seq = jnp.take_along_axis(
-            state.fin_seqs, best[:, None, None], axis=1)[:, 0, :]
-        best_score = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
-        return best_seq[:, 1:], best_score  # drop BOS
+        if cfg.topk <= 1:
+            best = jnp.argmax(norm, axis=1)  # (B,)
+            best_seq = jnp.take_along_axis(
+                state.fin_seqs, best[:, None, None], axis=1)[:, 0, :]
+            best_score = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+            return best_seq[:, 1:], best_score  # drop BOS
+        # n-best (reference collect_hypothesis_and_scores, Translator.py:83-91)
+        top_scores, top_idx = jax.lax.top_k(norm, cfg.topk)
+        top_seqs = jnp.take_along_axis(state.fin_seqs, top_idx[:, :, None], axis=1)
+        return top_seqs[:, :, 1:], top_scores
 
     return jax.jit(generate) if jit else generate

@@ -123,7 +123,11 @@ def _apply_pad(ids, probs, pad_mask):
 # ---------------------------------------------------------------------------
 
 
-def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config):
+def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config,
+                  collect: bool = False):
+    """collect=True additionally returns the per-iteration (tokens, probs)
+    stacks — the reference's collect_best_candidate_iterative_results
+    (algorithms.py:55-75)."""
     use_ct = cfg.use_ct
     T = cfg.iterations + 1 if use_ct else cfg.iterations
     seq_lens = lengths.astype(jnp.float32)
@@ -161,8 +165,10 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
         tokens = jnp.where(mask_ind, new_ids, masked)
         token_probs = jnp.where(mask_ind, new_probs, token_probs)
-        return (tokens, token_probs), None
+        ys = (tokens, token_probs) if collect else None
+        return (tokens, token_probs), ys
 
+    collected = None
     if T > 1:
         # Mask-ratio schedule computed in float64 on the host then cast to
         # float32, matching torch's python-float -> f32-tensor promotion
@@ -171,14 +177,25 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         counters = jnp.arange(1, T)
         ratios = jnp.asarray(
             [1.0 - c / T for c in range(1, T)], jnp.float32)
-        (tokens, token_probs), _ = jax.lax.scan(
-            body, (tokens, token_probs), (counters, ratios))
+        init = (tokens, token_probs)
+        (tokens, token_probs), ys = jax.lax.scan(
+            body, init, (counters, ratios))
+        if collect:
+            # prepend the iteration-0 state: (T, N, L) stacks
+            collected = (
+                jnp.concatenate([init[0][None], ys[0]], axis=0),
+                jnp.concatenate([init[1][None], ys[1]], axis=0),
+            )
+    elif collect:
+        collected = (tokens[None], token_probs[None])
 
     if teacher_score is not None and not cfg.no_candidate_decision:
         corresponding = teacher_score(tokens, pad_mask)
     else:
         corresponding = jnp.ones_like(token_probs)
     lprobs = jnp.log(token_probs * corresponding)
+    if collect:
+        return tokens, lprobs, collected
     return tokens, lprobs
 
 
@@ -303,17 +320,22 @@ ALGORITHMS = {"mp": _mask_predict, "l2r": _left2right, "ef": _easy_first}
 
 
 def make_nar_generator(cfg: Config, model, teacher_model=None,
-                       jit: bool = True):
+                       jit: bool = True, collect: bool = False):
     """Build the full NAR decode function (reference na_generate.py:14-113).
 
     Returns fn(variables, enc_results, category,
                teacher_variables=None, teacher_enc_results=None,
-               dict_mapping=None) -> (hypotheses (B, max_len) int32,
-                                      lprobs (B, lbs metadata free)).
+               dict_mapping=None) -> hypotheses (B, max_len) int32, or with
+    ``collect=True`` (mask-predict only) -> (hypotheses,
+    (iter_tokens (B, T, max_len), iter_probs (B, T, max_len))) for the best
+    length beam — the reference's candidate-collection mode
+    (na_generate.py:80-90).
     ``enc_results`` must carry 'enc_output' and 'pred_length'.
     """
     if cfg.paradigm not in ALGORITHMS:
         raise ValueError("paradigm must be one of %s" % list(ALGORITHMS))
+    if collect and cfg.paradigm != "mp":
+        raise NotImplementedError("iterative collection is mask-predict only")
     algorithm = ALGORITHMS[cfg.paradigm]
     lbs = cfg.length_beam_size
     use_teacher = teacher_model is not None and (
@@ -343,8 +365,27 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
         if use_teacher and teacher_variables is not None and ctx.teacher_enc_output is not None:
             teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx)
 
-        hyp, lprobs = algorithm(predict, teacher_score, tokens, pad_mask, lengths, cfg)
+        if collect:
+            hyp, lprobs, (iter_toks, iter_probs) = algorithm(
+                predict, teacher_score, tokens, pad_mask, lengths, cfg, collect=True)
+        else:
+            hyp, lprobs = algorithm(predict, teacher_score, tokens, pad_mask,
+                                    lengths, cfg)
         best = select_best_length_beam(hyp, lprobs, lengths, bsz, lbs, cfg.beam_alpha)
-        return best
+        if not collect:
+            return best
+
+        # gather each iteration's canvas at the winning length beam
+        max_len = hyp.shape[-1]
+        lens = lengths.reshape(bsz, lbs).astype(jnp.float32)
+        avg = lprobs.reshape(bsz, lbs, max_len).sum(-1) / jnp.power(lens, cfg.beam_alpha)
+        best_idx = jnp.argmax(avg, axis=-1)  # (B,)
+        t = iter_toks.shape[0]
+        toks = iter_toks.reshape(t, bsz, lbs, max_len).transpose(1, 0, 2, 3)
+        probs = iter_probs.reshape(t, bsz, lbs, max_len).transpose(1, 0, 2, 3)
+        sel = best_idx[:, None, None, None]
+        toks = jnp.take_along_axis(toks, sel, axis=2)[:, :, 0, :]
+        probs = jnp.take_along_axis(probs, sel, axis=2)[:, :, 0, :]
+        return best, (toks, probs)
 
     return jax.jit(generate) if jit else generate

@@ -30,17 +30,20 @@ class Evaluator:
     """Builds the jitted encode/decode pipeline once per config."""
 
     def __init__(self, cfg: Config, model, teacher_cfg: Optional[Config] = None,
-                 teacher_model=None, dict_mapping: Optional[np.ndarray] = None):
+                 teacher_model=None, dict_mapping: Optional[np.ndarray] = None,
+                 collect: bool = False):
         self.cfg = cfg
         self.model = model
         self.teacher_model = teacher_model
+        self.collect = collect
         self.dict_mapping = None if dict_mapping is None else jnp.asarray(dict_mapping)
         self.encode = make_encode_fn(cfg, model)
         self.teacher_encode = (
             make_encode_fn(teacher_cfg or cfg, teacher_model)
             if teacher_model is not None else None)
         if cfg.decoding_type == "NARFormer":
-            self.generate = make_nar_generator(cfg, model, teacher_model)
+            self.generate = make_nar_generator(cfg, model, teacher_model,
+                                               collect=collect)
         else:
             self.generate = make_ar_generator(cfg, model)
 
@@ -48,27 +51,37 @@ class Evaluator:
         feats = [jnp.asarray(batch["feats_%s" % ch]) for ch in self.cfg.modality.lower()]
         category = jnp.asarray(batch["category"]) if self.cfg.with_category else None
         enc = self.encode(variables["params"], variables.get("batch_stats", {}), feats)
+        collected = None
         if self.cfg.decoding_type == "NARFormer":
             tenc = None
             if self.teacher_encode is not None and teacher_variables is not None:
                 tenc = self.teacher_encode(
                     teacher_variables["params"],
                     teacher_variables.get("batch_stats", {}), feats)
-            hyp = self.generate(variables, enc, category,
+            out = self.generate(variables, enc, category,
                                 teacher_variables, tenc, self.dict_mapping)
+            if self.collect:
+                hyp, collected = out
+            else:
+                hyp = out
             scores = None
         else:
             hyp, scores = self.generate(variables, enc, category)
-        return hyp, scores, enc
+        return hyp, scores, enc, collected
 
 
 def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
              teacher_variables=None, scorer: Optional[COCOScorer] = None,
              no_score: bool = False, analyze: bool = False,
-             print_sent: bool = False) -> Dict[str, Any]:
+             print_sent: bool = False,
+             collect_path: Optional[str] = None) -> Dict[str, Any]:
     scorer = scorer or COCOScorer()
     gt_captions = loader.dataset.get_references()
     pred_captions: Dict[str, list] = defaultdict(list)
+    best_candidate_sents: Dict[str, list] = defaultdict(list)
+    best_candidate_score: Dict[str, list] = defaultdict(list)
+    collect_ar = (cfg.decoding_type == "ARFormer" and evaluator.collect is False
+                  and collect_path is not None and cfg.topk > 1)
 
     all_time = 0.0
     n_batches = 0
@@ -76,10 +89,29 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
 
     for batch in loader:
         t0 = time.time()
-        hyp, _, enc = evaluator.decode_batch(variables, batch, teacher_variables)
+        hyp, hyp_scores, enc, collected = evaluator.decode_batch(
+            variables, batch, teacher_variables)
         hyp = np.asarray(jax.device_get(hyp))
         all_time += time.time() - t0
         n_batches += 1
+
+        if collected is not None:
+            iter_toks = np.asarray(collected[0])
+            iter_probs = np.asarray(collected[1])
+            for k in range(batch["num_valid"]):
+                vid = batch["video_ids"][k]
+                for t in range(iter_toks.shape[1]):
+                    best_candidate_sents[vid].append(
+                        to_sentence(iter_toks[k, t], vocab))
+                    best_candidate_score[vid].append(iter_probs[k, t].tolist())
+        if collect_ar and hyp_scores is not None:
+            scores_np = np.asarray(hyp_scores)
+            for k in range(batch["num_valid"]):
+                vid = batch["video_ids"][k]
+                for j in range(hyp.shape[1]):
+                    pred_captions[vid].append({
+                        "caption": to_sentence(hyp[k, j], vocab),
+                        "score": float(scores_np[k, j])})
 
         if cfg.decoding_type == "NARFormer" and "length_target" in batch:
             ll = kl_length_loss(
@@ -88,14 +120,26 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
             length_loss_sum += float(ll) * batch["num_valid"]
             length_loss_n += batch["num_valid"]
 
-        for k in range(batch["num_valid"]):
-            vid = batch["video_ids"][k]
-            sent = to_sentence(hyp[k], vocab)
-            if cfg.decoding_type == "NARFormer":
-                sent, _ = duplicate(sent)
-            if print_sent:
-                print("%s: %s" % (vid, sent))
-            pred_captions[vid].append({"image_id": vid, "caption": sent})
+        if not collect_ar:
+            for k in range(batch["num_valid"]):
+                vid = batch["video_ids"][k]
+                sent = to_sentence(hyp[k], vocab)
+                if cfg.decoding_type == "NARFormer":
+                    sent, _ = duplicate(sent)
+                if print_sent:
+                    print("%s: %s" % (vid, sent))
+                pred_captions[vid].append({"image_id": vid, "caption": sent})
+
+    if collect_path is not None:
+        import pickle
+        with open(collect_path, "wb") as f:
+            if collect_ar:
+                pickle.dump(dict(pred_captions), f)
+            else:
+                pickle.dump([dict(best_candidate_sents),
+                             dict(best_candidate_score)], f)
+        if collect_ar:
+            return {"collected": len(pred_captions)}
 
     res: Dict[str, Any] = {}
     if cfg.batch_size == 1 and n_batches:

@@ -65,8 +65,14 @@ def run_train_epoch(cfg: Config, train_step, state: TrainState, loader: BatchLoa
 
 def train_network_all(cfg: Config, workdir: Optional[str] = None,
                       info_corpus=None, references=None, in_memory_feats=None,
-                      verbose: bool = True) -> Dict[str, Any]:
-    """End-to-end training; returns {'state', 'best_res', 'test_res', ...}."""
+                      verbose: bool = True, resume: bool = False) -> Dict[str, Any]:
+    """End-to-end training; returns {'state', 'best_res', 'test_res', ...}.
+
+    ``resume=True`` restores params/batch-stats/optimizer state/epoch/lr from
+    the rolling ``checkpoint.ckpt`` — a capability the reference lacks (it
+    saves no optimizer state; misc/run.py:315-318 has only a vestigial
+    start_epoch).
+    """
     workdir = workdir or cfg.checkpoint_path or "./experiments/run"
     os.makedirs(workdir, exist_ok=True)
     cfg = cfg.replace(checkpoint_path=workdir)
@@ -88,6 +94,26 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
     train_step = make_train_step(cfg, model, tx)
     lr_schedule = LrSchedule.from_config(cfg)
 
+    start_epoch = 0
+    resume_path = os.path.join(workdir, "checkpoint.ckpt")
+    if resume and os.path.exists(resume_path):
+        from .checkpoint import load_checkpoint
+        ckpt = load_checkpoint(resume_path)
+        if ckpt.get("opt_state") is not None:
+            state = TrainState(
+                params=ckpt["params"],
+                batch_stats=ckpt.get("batch_stats") or {},
+                opt_state=ckpt["opt_state"],
+                step=state.step,
+            )
+            start_epoch = int(ckpt.get("epoch", 0))
+            sched = ckpt.get("lr_schedule", {})
+            lr_schedule.learning_rate = sched.get("learning_rate", lr_schedule.learning_rate)
+            lr_schedule.n_current_steps = sched.get("n_current_steps", 0)
+            if verbose:
+                print("resumed from %s at epoch %d (lr=%g)"
+                      % (resume_path, start_epoch, lr_schedule.learning_rate))
+
     loader_kw = dict(info_corpus=info_corpus, in_memory_feats=in_memory_feats)
     train_loader = get_loader(cfg, "train", **loader_kw)
     vali_loader = get_loader(cfg, "validate", **loader_kw)
@@ -108,8 +134,11 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
     evaluator = Evaluator(cfg, model, teacher_cfg, teacher_model)
     rng_key = jax.random.PRNGKey(cfg.seed + 1)
 
+    from .summary import SummaryWriter
+    summary = SummaryWriter(os.path.join(workdir, "trainval"))
+
     history = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         train_loader.dataset.shuffle()
         if verbose:
             logger.write_text("epoch %d lr=%g" % (epoch, lr_schedule.get_lr()))
@@ -117,6 +146,9 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
             cfg, train_step, state, train_loader, lr_schedule, rng_key,
             logger if verbose else None, epoch)
         lr_schedule.epoch_update()
+        summary.add_scalar("learning_rate", lr_schedule.get_lr(), epoch)
+        summary.add_scalars(
+            {k: v for k, v in train_info.items() if isinstance(v, float)}, epoch)
 
         if (epoch + 1) > cfg.start_eval_epoch and (epoch + 1) % cfg.save_checkpoint_every == 0:
             eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
@@ -126,19 +158,27 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
             res["epoch"] = epoch
             history.append(res)
             logger.write(res)
+            summary.add_scalars(
+                {k: v for k, v in res.items()
+                 if isinstance(v, (int, float)) and k != "epoch"}, epoch)
 
             ckpt = {
                 "epoch": epoch + 1,
                 "params": state.params,
                 "batch_stats": state.batch_stats,
-                "opt_state": None,  # kept small; resume support saves it below
+                "opt_state": state.opt_state,
+                "lr_schedule": {"learning_rate": lr_schedule.get_lr(),
+                                "n_current_steps": lr_schedule.n_current_steps},
                 "validate_result": res,
                 "settings": cfg,
             }
             save_checkpoint(ckpt, workdir, "checkpoint.ckpt")
 
             def _save_best(dst, _ckpt=ckpt):
-                save_checkpoint(_ckpt, os.path.dirname(dst), os.path.basename(dst))
+                # best checkpoints drop optimizer state (eval-only artifacts)
+                slim = {k: v for k, v in _ckpt.items() if k != "opt_state"}
+                slim["opt_state"] = None
+                save_checkpoint(slim, os.path.dirname(dst), os.path.basename(dst))
 
             keep, info = best_model.check(res, workdir, cfg.tolerence, _save_best)
             if verbose:

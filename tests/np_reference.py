@@ -192,3 +192,125 @@ def np_beam_search(decode_step, bsz, beam_size, max_len, alpha, topk=1):
         hyps.append(bm.get_hypothesis_from_tk(t, kk))
         scores.append(sc)
     return hyps, scores
+
+
+def _np_ct_or_blank(predict, tokens, pad_mask, use_ct):
+    """algorithms.py:288-293 / 360-365."""
+    if use_ct:
+        t = np.where(tokens == MASK, VIS, tokens)
+        ids, probs = predict(t)
+        ids = ids.copy(); probs = probs.copy()
+        ids[pad_mask] = PAD
+        probs[pad_mask] = 1.0
+        probs[ids == MASK] = 0.0
+        visual_mask = (ids != MASK) & (ids != PAD)
+        return ids, probs, visual_mask
+    token_probs = np.where(pad_mask, 1.0, 0.0)
+    return tokens.copy(), token_probs, None
+
+
+def _np_refinement_tail(predict, tokens, token_probs, pad_mask, seq_lens,
+                        q_iterations, use_ct, visual_mask):
+    """algorithms.py:326-339 / 400-413."""
+    T = q_iterations
+    for i in range(T):
+        if i == 0 and use_ct:
+            mask_ind = visual_mask
+        else:
+            ratio = np.float32(0.4 * (1.0 - i / T))
+            num_mask = (seq_lens.astype(np.float32) * ratio).astype(np.int64)
+            mask_ind = select_worst_np(token_probs.astype(np.float32), num_mask)
+        tokens[mask_ind] = MASK
+        new_ids, new_probs = predict(tokens)
+        new_ids = new_ids.copy(); new_probs = new_probs.copy()
+        new_ids[pad_mask] = PAD
+        new_probs[pad_mask] = 1.0
+        token_probs[mask_ind] = new_probs[mask_ind]
+        tokens[mask_ind] = new_ids[mask_ind]
+    return tokens, token_probs
+
+
+def np_left2right(predict, teacher_score, tokens, pad_mask, lengths,
+                  q, q_iterations, use_ct, no_candidate_decision=False):
+    """Left2Right.generate (algorithms.py:275-344)."""
+    bsz, seq_len = tokens.shape
+    seq_lens = lengths.astype(np.float64)
+    tokens, token_probs, visual_mask = _np_ct_or_blank(predict, tokens, pad_mask, use_ct)
+
+    all_mask_ind = []
+    for i in range(bsz):
+        all_mask_ind.append(
+            [j for j in range(int(lengths[i])) if tokens[i, j] == MASK])
+
+    for counter in range(0, seq_len, q):
+        masks = np.zeros(tokens.shape, bool)
+        for i in range(bsz):
+            ind = all_mask_ind[i][counter:min(counter + q, len(all_mask_ind[i]))] \
+                if counter < len(all_mask_ind[i]) else []
+            masks[i, ind] = True
+        if masks.sum() == 0:
+            break
+        tokens[masks] = MASK
+        new_ids, new_probs = predict(tokens)
+        new_ids = new_ids.copy(); new_probs = new_probs.copy()
+        new_ids[pad_mask] = PAD
+        new_probs[pad_mask] = 1.0
+        token_probs[masks] = new_probs[masks]
+        tokens[masks] = new_ids[masks]
+
+    tokens, token_probs = _np_refinement_tail(
+        predict, tokens, token_probs, pad_mask, seq_lens, q_iterations,
+        use_ct, visual_mask)
+
+    if teacher_score is not None and not no_candidate_decision:
+        corresponding = teacher_score(tokens, pad_mask)
+    else:
+        corresponding = np.ones_like(token_probs)
+    with np.errstate(divide="ignore"):
+        lprobs = np.log(token_probs * corresponding)
+    return tokens, lprobs
+
+
+def np_easy_first(predict, teacher_score, tokens, pad_mask, lengths,
+                  q, q_iterations, use_ct, no_candidate_decision=False):
+    """EasyFirst.generate (algorithms.py:347-417)."""
+    bsz, seq_len = tokens.shape
+    seq_lens = lengths.astype(np.float64)
+    tokens, token_probs, visual_mask = _np_ct_or_blank(predict, tokens, pad_mask, use_ct)
+
+    pre = 0
+    while True:
+        mask_ind = tokens == MASK
+        remain = mask_ind.sum()
+        if remain == 0 or pre == remain:
+            break
+        pre = remain
+        new_ids, new_probs = predict(tokens)
+        new_ids = new_ids.copy(); new_probs = new_probs.copy()
+        new_ids[pad_mask] = PAD
+        new_probs[pad_mask] = 1.0
+
+        conf = new_probs.copy()
+        conf[~mask_ind] = 0
+        remain_len = mask_ind.sum(-1)
+        masks = np.zeros(tokens.shape, bool)
+        for i in range(bsz):
+            if remain_len[i] == 0:
+                continue
+            kk = min(q, int(remain_len[i]))
+            ind = np.argsort(-conf[i], kind="stable")[:kk]
+            masks[i, ind] = True
+        token_probs[masks] = new_probs[masks]
+        tokens[masks] = new_ids[masks]
+
+    tokens, token_probs = _np_refinement_tail(
+        predict, tokens, token_probs, pad_mask, seq_lens, q_iterations,
+        use_ct, visual_mask)
+
+    if teacher_score is not None and not no_candidate_decision:
+        corresponding = teacher_score(tokens, pad_mask)
+    else:
+        corresponding = np.ones_like(token_probs)
+    with np.errstate(divide="ignore"):
+        lprobs = np.log(token_probs * corresponding)
+    return tokens, lprobs
