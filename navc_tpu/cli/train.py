@@ -38,6 +38,8 @@ def main(argv=None):
     print("| method %s | vocab_size %d | modality %s | max_len %d | seed %d"
           % (cfg.method, cfg.vocab_size, cfg.modality, cfg.max_len, cfg.seed))
 
+    # warm start from a full pretrained checkpoint (reference train.py:85-87)
+    # is handled inside train_network_all via cfg.pretrained_path
     out = train_network_all(cfg, workdir=workdir, info_corpus=info_corpus)
     if "test_res" in out:
         print({k: v for k, v in out["test_res"].items()})

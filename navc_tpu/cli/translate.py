@@ -53,8 +53,28 @@ def build_parser():
     p.add_argument("-analyze", default=False, action="store_true")
     p.add_argument("-latency", default=False, action="store_true")
     p.add_argument("-specific", default=-1, type=int)
+    p.add_argument("-collect_path", type=str, default="./collected_captions")
+    p.add_argument("-collect", default=False, action="store_true")
     p.add_argument("--base_checkpoint_path", type=str, default="./experiments")
     return p
+
+
+def prepare_collect_path(cfg: Config, opt) -> str:
+    """Collection-file naming (reference translate.py:14-41)."""
+    os.makedirs(opt.collect_path, exist_ok=True)
+    names = [cfg.dataset, cfg.method, opt.evaluation_mode]
+    if cfg.decoding_type == "ARFormer":
+        parameter = "bs%d_topk%d.pkl" % (cfg.beam_size, cfg.topk)
+    else:
+        names.append(("CT" if cfg.use_ct else "") + cfg.paradigm)
+        if cfg.paradigm == "mp":
+            parameter = "i%db%da%03d.pkl" % (
+                cfg.iterations, cfg.length_beam_size, int(100 * cfg.beam_alpha))
+        else:
+            parameter = "q%dqi%db%da%03d.pkl" % (
+                cfg.q, cfg.q_iterations, cfg.length_beam_size,
+                int(100 * cfg.beam_alpha))
+    return os.path.join(opt.collect_path, "_".join(names + [parameter]))
 
 
 def get_dict_mapping(cfg: Config, teacher_cfg: Config, info_corpus, teacher_info):
@@ -128,9 +148,12 @@ def main(argv=None):
             teacher_info = pickle.load(f)
         dict_mapping = get_dict_mapping(cfg, teacher_cfg, info_corpus, teacher_info)
 
-    evaluator = Evaluator(cfg, model, teacher_cfg, teacher_model, dict_mapping)
+    collect_nar = opt.collect and cfg.decoding_type == "NARFormer"
+    evaluator = Evaluator(cfg, model, teacher_cfg, teacher_model, dict_mapping,
+                          collect=collect_nar)
     results = {}
     for mode in modes:
+        opt.evaluation_mode = mode
         loader = get_loader(cfg, mode=mode, info_corpus=info_corpus,
                             batch_size=opt.batch_size, specific=opt.specific)
         vocab = loader.dataset.get_vocab()
@@ -138,7 +161,9 @@ def main(argv=None):
                           teacher_variables=teacher_vars,
                           no_score=opt.no_score,
                           analyze=True if opt.record else opt.analyze,
-                          print_sent=opt.print_sent)
+                          print_sent=opt.print_sent,
+                          collect_path=prepare_collect_path(cfg, opt)
+                          if opt.collect else None)
         print(mode, metric)
         results[mode] = metric
         if opt.record:

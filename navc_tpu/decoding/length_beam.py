@@ -19,15 +19,22 @@ from .. import constants as C
 
 
 def predict_length_beam(pred_length: jnp.ndarray, length_beam_size: int,
-                        length_bias: int, max_len: int) -> jnp.ndarray:
+                        length_bias: int, max_len: int,
+                        gold_target_len: jnp.ndarray = None) -> jnp.ndarray:
     """Top-k predicted lengths, clamped to [4, max_len - 1].
 
     pred_length: (B, max_len) log-probs from the length head.
     Returns (B, length_beam_size) int32 lengths in descending-probability
-    order (reference na_generate.py:123, 130-132).
+    order (reference na_generate.py:123, 130-132). With ``gold_target_len``
+    the beam is centered on the gold length instead
+    (na_generate.py:117-121, the load_generated_captions path).
     """
-    _, idx = jax.lax.top_k(pred_length, length_beam_size)
-    beam = idx.astype(jnp.int32) + length_bias
+    if gold_target_len is not None:
+        starts = gold_target_len.astype(jnp.int32) - (length_beam_size - 1) // 2
+        beam = starts[:, None] + jnp.arange(length_beam_size, dtype=jnp.int32)[None, :]
+    else:
+        _, idx = jax.lax.top_k(pred_length, length_beam_size)
+        beam = idx.astype(jnp.int32) + length_bias
     return jnp.clip(beam, 4, max_len - 1)
 
 

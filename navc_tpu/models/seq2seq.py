@@ -151,7 +151,11 @@ class Seq2Seq(nn.Module):
         else:
             token_sets = [tgt_tokens]
 
-        if cfg.decoding_type == "ARFormer":
+        # SelfMask (parallel-MLM AR variant) feeds tokens[1:]; ARFormer shifts
+        # off the last position (reference seq2seq.py:115-120)
+        if cfg.decoding_type == "SelfMask":
+            token_sets = [t[:, 1:] for t in token_sets]
+        elif cfg.decoding_type == "ARFormer":
             token_sets = [t[:, :-1] for t in token_sets]
 
         logprob_sets: List[jnp.ndarray] = []

@@ -81,6 +81,14 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
     rng = jax.random.PRNGKey(cfg.seed)
     variables = init_params(model, rng, cfg)
 
+    # full pretrained warm start (reference train.py:85-87)
+    if cfg.pretrained_path and os.path.exists(cfg.pretrained_path):
+        from .checkpoint import load_checkpoint
+        pre = load_checkpoint(cfg.pretrained_path)
+        variables = {"params": pre["params"]}
+        if pre.get("batch_stats"):
+            variables["batch_stats"] = pre["batch_stats"]
+
     # teacher warm start + rescoring teacher (reference run.py:274-291)
     teacher_model, teacher_variables, teacher_cfg = None, None, None
     if cfg.load_teacher_weights and cfg.teacher_path and os.path.exists(cfg.teacher_path):

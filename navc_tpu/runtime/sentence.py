@@ -94,6 +94,19 @@ def _pred_ngrams(pred: Dict[str, list], n: int):
     return gram_count, sents, ave_length / max(count, 1), count
 
 
+def get_words_with_specified_tags(word_to_ix, seq: str, index_set,
+                                  demand=("NOUN", "VERB"),
+                                  ignore_words=("is", "are", "<mask>")) -> None:
+    """Collect vocab ids of words in ``seq`` whose POS tag is demanded
+    (reference misc/utils.py:149-155; requires nltk)."""
+    import nltk
+
+    assert isinstance(index_set, set)
+    for w, t in nltk.pos_tag(seq.split(" ")):
+        if C.pos_tag_mapping.get(t) in demand and w not in ignore_words:
+            index_set.add(word_to_ix[w])
+
+
 def analyze_length_novel_unique(gt_captions, pred, vocab, splits, n: int = 1):
     """Reference utils.py:132-146: (ave_length, novel, unique, vocab usage,
     hypothesis n-gram counter, distinct 4-grams)."""
