@@ -68,6 +68,29 @@ def _predict_fn(model, variables, ctx: NARContext,
         w = variables["params"]["tgt_word_prj"]["kernel"]
         interpret = jax.default_backend() == "cpu"
 
+        # the fully-fused decoder layer covers the decode hot-loop config:
+        # 1 layer, no pos-attention, no attention LayerNorm (all defaults)
+        fully_fused = (cfg.num_hidden_layers_decoder == 1
+                       and not cfg.pos_attention and not cfg.with_layernorm)
+        if fully_fused:
+            from ..ops.fused_layer import (fused_nar_decoder_layer,
+                                           layer_weights_from_params)
+            layer_w = layer_weights_from_params(
+                variables["params"]["decoder"]["layer_0"])
+
+            def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                emb = model.apply(
+                    variables, tokens, ctx.enc_output, ctx.category,
+                    method=lambda m, *a: m.nar_embed(*a))
+                hidden = fused_nar_decoder_layer(
+                    emb, ctx.enc_output, tokens == C.PAD, layer_w,
+                    n_head=cfg.num_attention_heads, tb=4, interpret=interpret)
+                n, l, hdim = hidden.shape
+                ids, maxp = fused_project_argmax(
+                    hidden.reshape(n * l, hdim), w, interpret=interpret)
+                return ids.reshape(n, l), maxp.reshape(n, l)
+            return predict
+
         def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             hidden, _, _ = model.apply(
                 variables, tokens, ctx.enc_output, ctx.category, "NARFormer",

@@ -147,20 +147,23 @@ class BertEmbeddings(nn.Module):
 
 
 def fold_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
-    """(B, L, H) -> (B, n_head, L, H/n_head)."""
+    """(B, L, H) -> (B, L, n_head, H/n_head) — head split without transpose;
+    the einsums in attention_core contract directly from this layout so XLA
+    emits no copy (transposed BHLD layouts cost ~25% of the decoder fwd in
+    pure copies on TPU)."""
     b, l, h = x.shape
-    return x.reshape(b, l, n_head, h // n_head).transpose(0, 2, 1, 3)
+    return x.reshape(b, l, n_head, h // n_head)
 
 
 def attention_core(q, k, v, mask, *, dropout_fn=None, dtype=jnp.float32):
     """Scaled-dot attention with the reference's additive -10e6 masking.
 
-    q,k,v: (B, n_head, L, d); mask: (B, Lq, Lk) bool, True = masked out
-    (reference models/bert.py:154-174). Returns (out (B, n_head, Lq, d),
+    q,k,v: (B, L, n_head, d); mask: (B, Lq, Lk) bool, True = masked out
+    (reference models/bert.py:154-174). Returns (out (B, Lq, n_head, d),
     probs (B, n_head, Lq, Lk)).
     """
     d_k = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype),
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dtype), k.astype(dtype),
                         preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(d_k)
     if mask is not None:
@@ -168,7 +171,7 @@ def attention_core(q, k, v, mask, *, dropout_fn=None, dtype=jnp.float32):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if dropout_fn is not None:
         probs = dropout_fn(probs)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v.astype(dtype),
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype),
                      preferred_element_type=jnp.float32)
     return out.astype(jnp.float32), probs
 
@@ -200,8 +203,8 @@ class BertSelfAttention(nn.Module):
         if self.attention_probs_dropout_prob > 0.0:
             drop = lambda p: self.dropout(p, deterministic=deterministic)
         out, probs = attention_core(q, k, v, attention_mask, dropout_fn=drop, dtype=self.dtype)
-        b, _, lq, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.dim_hidden)
+        b, lq = out.shape[0], out.shape[1]
+        out = out.reshape(b, lq, self.dim_hidden)
         if output_attentions:
             return out, probs
         return out, None

@@ -124,6 +124,26 @@ class Seq2Seq(nn.Module):
         table = self.decoder.embedding.word_embeddings.embedding
         return (hidden @ table.T + self.tie_bias).astype(jnp.float32)
 
+    def nar_embed(self, tgt_seq, enc_output, category=None):
+        """NAR pre-layer stage only: enhance-input feats + embeddings.
+
+        Mirrors BertDecoder's pre-layer computation (reference
+        Decoder.py:130-148) so the Pallas fused decoder layer
+        (navc_tpu.ops.fused_layer) can take over from the embeddings.
+        """
+        from ..ops import masking as M
+
+        cfg = self.cfg
+        l = tgt_seq.shape[1]
+        additional_feats = None
+        if cfg.enhance_input == 1:
+            additional_feats = M.resample_enc_output(enc_output, tgt_seq)
+        elif cfg.enhance_input == 2:
+            additional_feats = M.meanpool_enc_output(enc_output, l)
+        return self.decoder.embedding(
+            tgt_seq, category=category, additional_feats=additional_feats,
+            deterministic=True)
+
     def decode_logprobs(self, tgt_seq, enc_output, category=None,
                         decoding_type: Optional[str] = None,
                         deterministic: bool = True,

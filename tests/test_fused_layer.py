@@ -1,0 +1,56 @@
+"""Fused Pallas decoder layer: interpret-mode parity vs the XLA BertLayer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navc_tpu import constants as C
+from navc_tpu.config import default_config
+from navc_tpu.models import build_model, init_params
+from navc_tpu.ops.fused_layer import fused_nar_decoder_layer, layer_weights_from_params
+
+
+def small_cfg(**kw):
+    over = dict(
+        vocab_size=30, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
+        max_len=10, batch_size=2, compute_dtype="float32",
+    )
+    over.update(kw)
+    return default_config("NAB", dataset="MSVD", **over)
+
+
+def test_fused_layer_matches_xla_decoder():
+    cfg = small_cfg()
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    n = 6
+    enc = jnp.asarray(rng.randn(n, 2 * cfg.n_frames, cfg.dim_hidden).astype(np.float32))
+    tokens = np.full((n, cfg.max_len), C.PAD, np.int32)
+    for i in range(n):
+        l = rng.randint(4, cfg.max_len)
+        tokens[i, :l] = rng.randint(4, cfg.vocab_size, size=l)
+    tokens = jnp.asarray(tokens)
+
+    # XLA reference path
+    hidden_ref, _, _ = model.apply(
+        variables, tokens, enc, None, "NARFormer", True,
+        method=lambda m, *a: m.decode(*a))
+
+    # fused path: embeddings (same code) + Pallas layer
+    emb = model.apply(variables, tokens, enc, None,
+                      method=lambda m, *a: m.nar_embed(*a))
+    weights = layer_weights_from_params(
+        variables["params"]["decoder"]["layer_0"])
+    hidden_fused = fused_nar_decoder_layer(
+        emb, enc, tokens == C.PAD, weights,
+        n_head=cfg.num_attention_heads, tb=8, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(hidden_fused), np.asarray(hidden_ref),
+                               rtol=2e-2, atol=2e-2)
+    # PAD positions are exactly zero in both (non-pad multiplier)
+    pad = np.asarray(tokens) == C.PAD
+    np.testing.assert_allclose(np.asarray(hidden_fused)[pad], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hidden_ref)[pad], 0.0, atol=1e-6)
