@@ -71,24 +71,43 @@ def _predict_fn(model, variables, ctx: NARContext,
         # the fully-fused decoder layer covers the decode hot-loop config:
         # 1 layer, no pos-attention, no attention LayerNorm (all defaults)
         fully_fused = (cfg.num_hidden_layers_decoder == 1
-                       and not cfg.pos_attention and not cfg.with_layernorm)
+                       and not cfg.pos_attention and not cfg.with_layernorm
+                       and cfg.enhance_input in (0, 2))
         if fully_fused:
             from ..ops.fused_layer import (fused_nar_decoder_layer,
                                            layer_weights_from_params)
             layer_w = layer_weights_from_params(
                 variables["params"]["decoder"]["layer_0"])
+            emb_p = variables["params"]["decoder"]["embedding"]
+            word_table = emb_p["word_embeddings"]["embedding"]
+            ln_scale = emb_p["LayerNorm"]["scale"]
+            ln_bias = emb_p["LayerNorm"]["bias"]
+            l = cfg.max_len
+            n_rows = ctx.enc_output.shape[0]
+            # iteration-invariant embedding parts: position (+category)
+            # (+mean-pooled enc for enhance_input == 2) — hoisted out of the
+            # refinement scan
+            static = jnp.broadcast_to(
+                emb_p["position_embeddings"]["embedding"][None, :l, :],
+                (n_rows, l, word_table.shape[1]))
+            if cfg.with_category and ctx.category is not None:
+                cat = emb_p["category_embeddings"]["embedding"][
+                    ctx.category.reshape(n_rows, -1)[:, 0]]
+                static = static + cat[:, None, :]
+            if cfg.enhance_input == 2:
+                static = static + ctx.enc_output.mean(axis=1, keepdims=True)
 
             def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-                emb = model.apply(
-                    variables, tokens, ctx.enc_output, ctx.category,
-                    method=lambda m, *a: m.nar_embed(*a))
+                raw = word_table[tokens]
                 hidden = fused_nar_decoder_layer(
-                    emb, ctx.enc_output, tokens == C.PAD, layer_w,
-                    n_head=cfg.num_attention_heads, tb=4, interpret=interpret)
-                n, l, hdim = hidden.shape
+                    raw, ctx.enc_output, tokens == C.PAD, layer_w,
+                    n_head=cfg.num_attention_heads, tb=4, interpret=interpret,
+                    static=static, ln_scale=ln_scale, ln_bias=ln_bias,
+                    ln_eps=cfg.layer_norm_eps)
+                n, l2, hdim = hidden.shape
                 ids, maxp = fused_project_argmax(
-                    hidden.reshape(n * l, hdim), w, interpret=interpret)
-                return ids.reshape(n, l), maxp.reshape(n, l)
+                    hidden.reshape(n * l2, hdim), w, interpret=interpret)
+                return ids.reshape(n, l2), maxp.reshape(n, l2)
             return predict
 
         def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -112,8 +131,53 @@ def _predict_fn(model, variables, ctx: NARContext,
     return predict
 
 
-def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext):
+def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
+                      cfg: Optional[Config] = None):
     """AR teacher per-token probabilities (algorithms.py:175-204)."""
+    tcfg = teacher_model.cfg
+    use_fused = (cfg is not None and cfg.use_pallas
+                 and tcfg.num_hidden_layers_decoder == 1
+                 and not tcfg.pos_attention and not tcfg.with_layernorm
+                 and not tcfg.tie_weights)
+
+    if use_fused:
+        from ..ops.fused_layer import (fused_nar_decoder_layer,
+                                       layer_weights_from_params)
+        from ..ops.vocab_fused import fused_project_gather_prob
+        layer_w = layer_weights_from_params(
+            teacher_variables["params"]["decoder"]["layer_0"])
+        w = teacher_variables["params"]["tgt_word_prj"]["kernel"]
+        emb_p = teacher_variables["params"]["decoder"]["embedding"]
+        word_table = emb_p["word_embeddings"]["embedding"]
+        interpret = jax.default_backend() == "cpu"
+
+        def score(tokens: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
+            t = tokens
+            if ctx.dict_mapping is not None:
+                t = ctx.dict_mapping[t]
+            bos = jnp.full((t.shape[0], 1), C.BOS, t.dtype)
+            inp = jnp.concatenate([bos, t], axis=1)[:, :-1]
+            n, l = inp.shape
+            static = jnp.broadcast_to(
+                emb_p["position_embeddings"]["embedding"][None, :l, :],
+                (n, l, word_table.shape[1]))
+            if tcfg.with_category and ctx.teacher_category is not None:
+                cat = emb_p["category_embeddings"]["embedding"][
+                    ctx.teacher_category.reshape(n, -1)[:, 0]]
+                static = static + cat[:, None, :]
+            hidden = fused_nar_decoder_layer(
+                word_table[inp], ctx.teacher_enc_output, inp == C.PAD, layer_w,
+                n_head=tcfg.num_attention_heads, tb=4, causal=True,
+                interpret=interpret, static=static,
+                ln_scale=emb_p["LayerNorm"]["scale"],
+                ln_bias=emb_p["LayerNorm"]["bias"],
+                ln_eps=tcfg.layer_norm_eps)
+            probs = fused_project_gather_prob(
+                hidden.reshape(n * l, hidden.shape[-1]), w, t.reshape(n * l),
+                interpret=interpret).reshape(n, l)
+            return jnp.where(pad_mask, 1.0, probs)
+        return score
+
     def score(tokens: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
         t = tokens
         if ctx.dict_mapping is not None:
@@ -386,7 +450,7 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
         predict = _predict_fn(model, variables, ctx, cfg)
         teacher_score = None
         if use_teacher and teacher_variables is not None and ctx.teacher_enc_output is not None:
-            teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx)
+            teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx, cfg)
 
         if collect:
             hyp, lprobs, (iter_toks, iter_probs) = algorithm(

@@ -124,6 +124,11 @@ class Seq2Seq(nn.Module):
         table = self.decoder.embedding.word_embeddings.embedding
         return (hidden @ table.T + self.tie_bias).astype(jnp.float32)
 
+    def ar_embed(self, tgt_seq, category=None):
+        """AR pre-layer stage: embeddings only (no NAR enhance features)."""
+        return self.decoder.embedding(
+            tgt_seq, category=category, deterministic=True)
+
     def nar_embed(self, tgt_seq, enc_output, category=None):
         """NAR pre-layer stage only: enhance-input feats + embeddings.
 

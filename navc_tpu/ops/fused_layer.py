@@ -48,12 +48,13 @@ def _gelu_new(x):
 
 
 def _attend_2d(xq, kv, kp_cols, wq, bq, wk, bk, wv, bv, wo, bo,
-               *, n_head, lq, lk):
+               *, n_head, lq, lk, causal=False):
     """Tile-wide per-head attention with block-diagonal sequence masking.
 
     xq: (Tq, H) f32 query rows (TB sequences x lq); kv: (Tk, H) f32 key rows
     (TB sequences x lk); kp_cols: (Tk,) f32, 1.0 where the key is masked out.
-    Returns (Tq, H) f32 attention output (pre-residual).
+    ``causal`` additionally masks future positions within each sequence
+    (ARFormer teacher forward). Returns (Tq, H) f32 (pre-residual).
     """
     tq, h = xq.shape
     tk = kv.shape[0]
@@ -65,9 +66,11 @@ def _attend_2d(xq, kv, kp_cols, wq, bq, wk, bk, wv, bv, wo, bo,
 
     # block-diagonal mask: query row i belongs to sequence i // lq, key row j
     # to sequence j // lk; cross-sequence or key-pad entries get MASK_FILL
-    row_seq = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) // lq
-    col_seq = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1) // lk
-    masked = (row_seq != col_seq) | (kp_cols[None, :] > 0.5)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    masked = (row_idx // lq != col_idx // lk) | (kp_cols[None, :] > 0.5)
+    if causal:
+        masked = masked | (col_idx % lk > row_idx % lq)
     bias = jnp.where(masked, MASK_FILL, 0.0)
 
     scale = 1.0 / math.sqrt(d)
@@ -93,33 +96,53 @@ def _attend_2d(xq, kv, kp_cols, wq, bq, wk, bk, wv, bv, wo, bo,
                    preferred_element_type=jnp.float32) + bo
 
 
-def _kernel(x_ref, enc_ref, kp_ref, enc_kp_ref,
-            wq_s, bq_s, wk_s, bk_s, wv_s, bv_s, wo_s, bo_s,
-            wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
-            wi, bi, wo2, bo2,
-            out_ref, *, n_head, l_pad, le_pad):
-    x = x_ref[:]                      # (T, H) f32
-    enc = enc_ref[:]                  # (Tk, H) f32
-    kp = kp_ref[:][:, 0]              # (T,) f32: 1.0 at PAD
-    enc_kp = enc_kp_ref[:][:, 0]      # (Tk,) f32: 1.0 at Le padding
+def _layer_body(x, enc, kp, enc_kp,
+                wq_s, bq_s, wk_s, bk_s, wv_s, bv_s, wo_s, bo_s,
+                wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
+                wi, bi, wo2, bo2,
+                out_ref, *, n_head, l_pad, le_pad, causal):
     npm = (1.0 - kp)[:, None]
 
-    att = _attend_2d(x, x, kp, wq_s[:], bq_s[:], wk_s[:], bk_s[:],
-                     wv_s[:], bv_s[:], wo_s[:], bo_s[:],
-                     n_head=n_head, lq=l_pad, lk=l_pad)
+    att = _attend_2d(x, x, kp, wq_s, bq_s, wk_s, bk_s,
+                     wv_s, bv_s, wo_s, bo_s,
+                     n_head=n_head, lq=l_pad, lk=l_pad, causal=causal)
     att = (att + x) * npm
 
-    cross = _attend_2d(att, enc, enc_kp, wq_c[:], bq_c[:], wk_c[:], bk_c[:],
-                       wv_c[:], bv_c[:], wo_c[:], bo_c[:],
+    cross = _attend_2d(att, enc, enc_kp, wq_c, bq_c, wk_c, bk_c,
+                       wv_c, bv_c, wo_c, bo_c,
                        n_head=n_head, lq=l_pad, lk=le_pad)
     att = (cross + att) * npm
 
-    inter = jnp.dot(att.astype(jnp.bfloat16), wi[:],
-                    preferred_element_type=jnp.float32) + bi[:]
+    inter = jnp.dot(att.astype(jnp.bfloat16), wi,
+                    preferred_element_type=jnp.float32) + bi
     inter = _gelu_new(inter)
-    down = jnp.dot(inter.astype(jnp.bfloat16), wo2[:],
-                   preferred_element_type=jnp.float32) + bo2[:]
+    down = jnp.dot(inter.astype(jnp.bfloat16), wo2,
+                   preferred_element_type=jnp.float32) + bo2
     out_ref[:] = (down + att) * npm
+
+
+def _kernel(x_ref, enc_ref, kp_ref, enc_kp_ref, *wrefs,
+            n_head, l_pad, le_pad, causal):
+    out_ref = wrefs[-1]
+    weights = [r[:] for r in wrefs[:-1]]
+    _layer_body(x_ref[:], enc_ref[:], kp_ref[:][:, 0], enc_kp_ref[:][:, 0],
+                *weights, out_ref,
+                n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal)
+
+
+def _kernel_fold(x_ref, static_ref, lns_ref, lnb_ref, enc_ref, kp_ref,
+                 enc_kp_ref, *wrefs, n_head, l_pad, le_pad, causal, ln_eps):
+    """Variant with the embedding epilogue folded in:
+    x = LayerNorm(word_embs + static) before the layer body."""
+    out_ref = wrefs[-1]
+    weights = [r[:] for r in wrefs[:-1]]
+    x = x_ref[:] + static_ref[:]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + ln_eps) * lns_ref[:] + lnb_ref[:]
+    _layer_body(x, enc_ref[:], kp_ref[:][:, 0], enc_kp_ref[:][:, 0],
+                *weights, out_ref,
+                n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal)
 
 
 def _round_up(x, m):
@@ -131,17 +154,32 @@ WEIGHT_KEYS = ["wq_s", "bq_s", "wk_s", "bk_s", "wv_s", "bv_s", "wo_s", "bo_s",
                "wi", "bi", "wo2", "bo2"]
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "tb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_head", "tb", "interpret",
+                                             "causal", "ln_eps"))
 def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
                             kp_mask: jnp.ndarray, weights: Dict[str, jnp.ndarray],
                             n_head: int = 8, tb: int = 8,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            causal: bool = False,
+                            static: jnp.ndarray = None,
+                            ln_scale: jnp.ndarray = None,
+                            ln_bias: jnp.ndarray = None,
+                            ln_eps: float = 1e-5) -> jnp.ndarray:
     """Run the fused decoder layer.
 
     x: (N, L, H) f32 embedded inputs; enc: (N, Le, H) f32; kp_mask: (N, L)
-    bool, True where the token is PAD. Returns (N, L, H) f32 hidden states
-    matching the XLA BertLayer in eval mode (up to bf16 rounding).
+    bool, True where the token is PAD. ``causal=True`` gives the ARFormer
+    (teacher) variant.
+
+    When ``static``/``ln_scale``/``ln_bias`` are given, x is the RAW word
+    embeddings and the kernel also performs the embedding epilogue
+    ``LayerNorm(x + static)`` (static = position + category + enhance-input
+    features, which are iteration-invariant in the refinement loop).
+
+    Returns (N, L, H) f32 hidden states matching the XLA BertLayer in eval
+    mode (up to bf16 rounding).
     """
+    fold = static is not None
     n, l, h = x.shape
     le = enc.shape[1]
     l_pad = _round_up(l, 8)
@@ -176,19 +214,39 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
 
     t = tb * l_pad
     tk = tb * le_pad
-    out = pl.pallas_call(
-        functools.partial(_kernel, n_head=n_head, l_pad=l_pad, le_pad=le_pad),
-        grid=(n_pad // tb,),
-        in_specs=[
-            pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ] + wspecs,
-        out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), jnp.float32),
-        interpret=interpret,
-    )(x2, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
+    xspec = pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    base_specs = [
+        xspec,
+        pl.BlockSpec((tk, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+
+    if fold:
+        staticp = jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(static)
+        static2 = staticp.reshape(n_pad * l_pad, h)
+        lns = ln_scale.astype(jnp.float32)[None, :]
+        lnb = ln_bias.astype(jnp.float32)[None, :]
+        row_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_kernel_fold, n_head=n_head, l_pad=l_pad,
+                              le_pad=le_pad, causal=causal, ln_eps=ln_eps),
+            grid=(n_pad // tb,),
+            in_specs=[xspec, xspec, row_spec, row_spec] + base_specs[1:] + wspecs,
+            out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), jnp.float32),
+            interpret=interpret,
+        )(x2, static2, lns, lnb, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel, n_head=n_head, l_pad=l_pad, le_pad=le_pad,
+                              causal=causal),
+            grid=(n_pad // tb,),
+            in_specs=base_specs + wspecs,
+            out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), jnp.float32),
+            interpret=interpret,
+        )(x2, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
 
     return out.reshape(n_pad, l_pad, h)[:n, :l]
 

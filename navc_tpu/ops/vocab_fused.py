@@ -110,6 +110,78 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
     return ids[:n, 0], maxp[:n, 0]
 
 
+def _gather_kernel(h_ref, w_ref, tgt_ref, prob_ref,
+                   m_scr, s_scr, g_scr, *, tv: int, v_real: int):
+    j = pl.program_id(1)
+    scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
+    scores = jnp.where(col < v_real, scores, NEG_INF)
+
+    tile_max = jnp.max(scores, axis=-1, keepdims=True)
+    tsel = col == tgt_ref[:]  # (TN, TV) one-hot of the target id
+    tl = jnp.sum(jnp.where(tsel, scores, 0.0), axis=-1, keepdims=True)
+    has = jnp.any(tsel, axis=-1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = tile_max
+        s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
+        g_scr[:] = jnp.where(has, tl, NEG_INF)
+
+    @pl.when(j > 0)
+    def _update():
+        m_old = m_scr[:]
+        new_m = jnp.maximum(m_old, tile_max)
+        s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
+                    + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
+        g_scr[:] = jnp.where(has, tl, g_scr[:])
+        m_scr[:] = new_m
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        # prob(target) = exp(logit_t - m) / sum-exp
+        prob_ref[:] = jnp.exp(g_scr[:] - m_scr[:]) / s_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tv", "interpret"))
+def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
+                              targets: jnp.ndarray,
+                              tn: int = 256, tv: int = 2048,
+                              interpret: bool = False) -> jnp.ndarray:
+    """softmax(h @ w)[i, targets[i]] without materializing the logits.
+
+    The AR-teacher rescoring gather (reference algorithms.py:196-200).
+    h: (N, D); w: (D, V); targets: (N,) int32. Returns (N,) f32 probs.
+    """
+    n, d = h.shape
+    v = w.shape[1]
+    n_pad = _round_up(max(n, 8), tn)
+    v_pad = _round_up(v, tv)
+    h_p = jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16))
+    w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
+    t_p = jnp.zeros((n_pad, 1), jnp.int32).at[:n, 0].set(targets.astype(jnp.int32))
+
+    grid = (n_pad // tn, v_pad // tv)
+    prob = pl.pallas_call(
+        functools.partial(_gather_kernel, tv=tv, v_real=v),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h_p, w_p, t_p)
+    return prob[:n, 0]
+
+
 def reference_project_argmax(h, w):
     """jnp reference for tests: full materialization."""
     logits = (h.astype(jnp.float32) @ w.astype(jnp.float32))

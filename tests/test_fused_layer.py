@@ -54,3 +54,36 @@ def test_fused_layer_matches_xla_decoder():
     pad = np.asarray(tokens) == C.PAD
     np.testing.assert_allclose(np.asarray(hidden_fused)[pad], 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(hidden_ref)[pad], 0.0, atol=1e-6)
+
+
+def test_fused_teacher_score_matches_jnp():
+    """Causal fused layer + gather-prob kernel vs the plain teacher scorer."""
+    import jax.numpy as jnp
+    from navc_tpu.decoding.length_beam import build_canvas, enlarge, predict_length_beam
+    from navc_tpu.decoding.mask_predict import NARContext, _teacher_score_fn
+    from test_decoding_parity import setup_model, small_cfg as parity_cfg
+
+    cfg = parity_cfg("NAB")
+    tcfg = parity_cfg("ARB")
+    teacher, tvars, tenc = setup_model(tcfg, seed=7)
+    model, variables, enc = setup_model(cfg)
+
+    lbs = cfg.length_beam_size
+    beam = predict_length_beam(enc["pred_length"], lbs, 0, cfg.max_len)
+    tokens, pad_mask, lengths = build_canvas(beam, cfg.max_len)
+    # fill with plausible token ids
+    rng = np.random.RandomState(3)
+    filled = jnp.where(tokens == C.MASK,
+                       jnp.asarray(rng.randint(6, cfg.vocab_size, tokens.shape)),
+                       tokens)
+
+    tenc_tiled = enlarge(tenc["enc_output"], lbs)
+    ctx = NARContext(None, None, tenc_tiled, None, None)
+
+    plain = _teacher_score_fn(teacher, tvars, ctx, cfg)  # use_pallas False
+    fused = _teacher_score_fn(teacher, tvars, ctx, cfg.replace(use_pallas=True))
+    a = np.asarray(plain(filled, pad_mask))
+    b = np.asarray(fused(filled, pad_mask))
+    np.testing.assert_allclose(a, b, rtol=5e-2, atol=1e-3)
+    # ranking-relevant agreement: probabilities correlate tightly
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
