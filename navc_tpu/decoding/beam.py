@@ -88,10 +88,39 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
     alpha = cfg.beam_alpha
 
     def decode_step(variables, seqs_flat, enc_output, category, t):
-        logprobs, _ = model.apply(
-            variables, seqs_flat, enc_output, category, "ARFormer", True,
-            method=lambda m, *a: m.decode_logprobs(*a))
-        return logprobs[:, t - 1, :]
+        # hidden states for the full prefix, then project ONLY position t-1
+        # (the reference projects every position each step, Translator.py:108;
+        # at L=30 that is 30x wasted vocab-projection FLOPs)
+        use_fused = (cfg.use_pallas and cfg.num_hidden_layers_decoder == 1
+                     and not cfg.pos_attention and not cfg.with_layernorm
+                     and jax.default_backend() != "cpu")
+        if use_fused:
+            from ..ops.fused_layer import (fused_nar_decoder_layer,
+                                           layer_weights_from_params)
+            emb_p = variables["params"]["decoder"]["embedding"]
+            layer_w = layer_weights_from_params(
+                variables["params"]["decoder"]["layer_0"])
+            word_table = emb_p["word_embeddings"]["embedding"]
+            n, l = seqs_flat.shape
+            static = jnp.broadcast_to(
+                emb_p["position_embeddings"]["embedding"][None, :l, :],
+                (n, l, word_table.shape[1]))
+            if cfg.with_category and category is not None:
+                cat = emb_p["category_embeddings"]["embedding"][
+                    category.reshape(n, -1)[:, 0]]
+                static = static + cat[:, None, :]
+            hidden = fused_nar_decoder_layer(
+                word_table[seqs_flat], enc_output, seqs_flat == C.PAD, layer_w,
+                n_head=cfg.num_attention_heads, tb=4, causal=True,
+                static=static, ln_scale=emb_p["LayerNorm"]["scale"],
+                ln_bias=emb_p["LayerNorm"]["bias"], ln_eps=cfg.layer_norm_eps)
+        else:
+            hidden, _, _ = model.apply(
+                variables, seqs_flat, enc_output, category, "ARFormer", True,
+                method=lambda m, *a: m.decode(*a))
+        h_t = jax.lax.dynamic_slice_in_dim(hidden, t - 1, 1, axis=1)[:, 0, :]
+        logits = model.apply(variables, h_t, method=lambda m, h: m.project(h))
+        return jax.nn.log_softmax(logits, axis=-1)
 
     def generate(variables, enc_results: Dict[str, jnp.ndarray],
                  category: Optional[jnp.ndarray] = None
