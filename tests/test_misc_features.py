@@ -1,0 +1,210 @@
+"""Coverage for the remaining reference knobs: k-best queue, dict mapping,
+category-specific eval, norm_type, watch, n_caps_per_video, dataset details,
+sentence utils."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navc_tpu import constants as C
+from navc_tpu.config import default_config, Config
+from navc_tpu.data.dataset import VideoDataset, get_frame_ids, resampling_ids
+from navc_tpu.data.loader import BatchLoader
+from navc_tpu.data.synthetic import make_synthetic_corpus, make_synthetic_feats
+from navc_tpu.models import build_model, init_params
+from navc_tpu.runtime.logger import KBestQueue
+from navc_tpu.runtime.sentence import duplicate, to_sentence
+
+
+def small_cfg(method="NAB", **kw):
+    over = dict(
+        vocab_size=40, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, n_total_frames=10,
+        dim_i=12, dim_m=10, modality="mi", max_len=8, batch_size=4,
+        compute_dtype="float32",
+    )
+    over.update(kw)
+    return default_config(method, dataset="MSVD", **over)
+
+
+# ---------------------------------------------------------------------------
+# k-best queue (reference misc/logger.py:81-211)
+# ---------------------------------------------------------------------------
+
+
+def test_kbest_relative_sum_scoring(tmp_path):
+    q = KBestQueue(k_best_model=1, standard=["Bleu_4", "METEOR", "CIDEr"])
+    saves = []
+    res1 = {"Bleu_4": 0.2, "METEOR": 0.1, "ROUGE_L": 0.3, "CIDEr": 0.4, "epoch": 0}
+    keep, _ = q.check(res1, str(tmp_path), tolerence=2, save_fn=saves.append)
+    assert keep and len(saves) == 1
+    # every metric is its own best -> Sum == 1.0
+    assert abs(res1["Sum"] - 1.0) < 1e-9
+
+    res2 = {"Bleu_4": 0.1, "METEOR": 0.05, "ROUGE_L": 0.2, "CIDEr": 0.2, "epoch": 1}
+    keep, _ = q.check(res2, str(tmp_path), tolerence=2, save_fn=saves.append)
+    assert keep and len(saves) == 1  # worse: no save
+    assert q.continuous_failed_count == 1
+
+    keep, _ = q.check(dict(res2, epoch=2), str(tmp_path), tolerence=2,
+                      save_fn=saves.append)
+    assert not keep  # tolerance reached -> early stop
+
+
+def test_kbest_multiple_models(tmp_path):
+    folder = os.path.join(str(tmp_path), "tmp_models")
+    q = KBestQueue(k_best_model=2, folder_path=folder,
+                   standard=["Bleu_4", "CIDEr"])
+    saves = []
+    for i, cider in enumerate([0.3, 0.2, 0.5]):
+        res = {"Bleu_4": 0.2, "METEOR": 0.1, "ROUGE_L": 0.2, "CIDEr": cider,
+               "epoch": i}
+        q.check(res, str(tmp_path), tolerence=10,
+                save_fn=lambda dst: (saves.append(dst), open(dst, "w").close()))
+    # third model displaced the second
+    assert len(saves) == 3
+    kept = {r[2]["epoch"] for r in q.heap}
+    assert kept == {0, 2}
+
+
+# ---------------------------------------------------------------------------
+# dict mapping (KD vocab remap, reference misc/utils.py:33-51 + algorithms.py:169-173)
+# ---------------------------------------------------------------------------
+
+
+def test_dict_mapping_remaps_teacher_tokens():
+    from navc_tpu.decoding.mask_predict import NARContext, _teacher_score_fn
+    cfg = small_cfg("NAB")
+    tcfg = small_cfg("ARB", vocab_size=40)
+    teacher = build_model(tcfg)
+    tvars = init_params(teacher, jax.random.PRNGKey(7), tcfg)
+    rng = np.random.RandomState(0)
+    tenc = jnp.asarray(rng.randn(4, 8, tcfg.dim_hidden).astype(np.float32))
+
+    # identity mapping vs a swap of two ids must change the scores
+    ident = jnp.arange(40, dtype=jnp.int32)
+    swap = ident.at[10].set(11).at[11].set(10)
+    tokens = jnp.full((4, cfg.max_len), 10, jnp.int32)
+    pad = jnp.zeros_like(tokens, bool)
+
+    s_ident = _teacher_score_fn(
+        teacher, tvars, NARContext(None, None, tenc, None, ident), cfg)(tokens, pad)
+    s_swap = _teacher_score_fn(
+        teacher, tvars, NARContext(None, None, tenc, None, swap), cfg)(tokens, pad)
+    assert not np.allclose(np.asarray(s_ident), np.asarray(s_swap))
+
+
+# ---------------------------------------------------------------------------
+# dataset knobs
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus_and_feats():
+    cfg = small_cfg()
+    corpus, refs = make_synthetic_corpus(cfg, n_videos=10, n_caps=3, vocab_size=40)
+    feats = make_synthetic_feats(cfg, n_videos=10, n_total_frames=10)
+    return corpus, refs, feats
+
+
+def test_specific_category_eval(corpus_and_feats):
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg()
+    cat = 0
+    ds = VideoDataset(cfg, "train", info_corpus=corpus,
+                      in_memory_feats=feats, specific=cat)
+    itoc = corpus["info"]["itoc"]
+    assert len(ds) > 0
+    for item in ds.infoset:
+        vid_ix = int(item["vid"][5:])
+        assert itoc[vid_ix] == cat
+
+
+def test_n_caps_per_video_resampling(corpus_and_feats):
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg(n_caps_per_video=1)
+    ds = VideoDataset(cfg, "train", info_corpus=corpus, in_memory_feats=feats)
+    n_train_videos = len(corpus["info"]["split"]["train"])
+    assert len(ds) == n_train_videos
+    first = [it["cap_id"] for it in ds.infoset]
+    ds.shuffle()
+    second = [it["cap_id"] for it in ds.infoset]
+    assert len(second) == n_train_videos
+    assert first != second  # reseeded selection differs with 3 caps/video
+
+
+def test_eval_masks_everything(corpus_and_feats):
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg()
+    ds = VideoDataset(cfg, "validate", info_corpus=corpus, in_memory_feats=feats)
+    item = ds[0]
+    toks = item["tokens"]
+    labels = item["labels"]
+    nonpad = toks != C.PAD
+    assert (toks[nonpad] == C.MASK).all()
+    assert (labels[nonpad] != C.PAD).all()
+
+
+def test_train_masking_beta_range(corpus_and_feats):
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg(beta=[0.5, 0.9])
+    ds = VideoDataset(cfg, "train", info_corpus=corpus, in_memory_feats=feats)
+    for i in range(min(20, len(ds))):
+        item = ds[i]
+        toks = item["tokens"]
+        labels = item["labels"]
+        n_mask = int((toks == C.MASK).sum())
+        # targets exist exactly at masked slots
+        assert int((labels != C.PAD).sum()) == n_mask
+        assert n_mask >= 1
+
+
+def test_frame_sampling_strategies():
+    rng = np.random.RandomState(0)
+    ids = get_frame_ids(60, 8, "equally_sampling", rng)
+    assert ids == sorted(ids) and len(ids) == 8
+    assert ids[0] == 3  # center of [0, 7.5)
+    ids2 = get_frame_ids(60, 8, "segment_random", rng)
+    assert len(set(ids2)) == 8
+    ids3 = get_frame_ids(60, 8, "all_random", rng)
+    assert len(set(ids3)) == 8
+    assert resampling_ids(3, 6) == [0, 0, 1, 1, 2, 2]
+
+
+def test_watch_flag_masks_far_past():
+    from navc_tpu.ops.masking import subsequent_mask
+    m = np.asarray(subsequent_mask(1, 6, watch=2)[0])
+    # position 4 can see positions 3,4 only
+    assert not m[4, 3] and not m[4, 4]
+    assert m[4, 2] and m[4, 5]
+
+
+def test_norm_type_ln():
+    cfg = small_cfg(norm_type="ln")
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    assert "batch_stats" not in variables or not variables["batch_stats"]
+    feats = [jnp.ones((2, cfg.n_frames, d)) for d in cfg.modality_dims]
+    out = model.apply(variables, feats, method=lambda m, f: m.encode(f))
+    assert out["enc_output"].shape == (2, 2 * cfg.n_frames, cfg.dim_hidden)
+
+
+def test_sentence_utils():
+    vocab = {0: "<pad>", 3: "<eos>", 6: "a", 7: "dog", 8: "runs"}
+    assert to_sentence([6, 7, 8, 3, 7], vocab) == "a dog runs"
+    sent, stats = duplicate("a dog a dog runs")
+    assert sent == "a dog runs"
+
+
+def test_prefetch_loader_matches_sync(corpus_and_feats):
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg()
+    ds = VideoDataset(cfg, "validate", info_corpus=corpus, in_memory_feats=feats)
+    sync = list(BatchLoader(ds, 4, shuffle=False, prefetch=0))
+    pre = list(BatchLoader(ds, 4, shuffle=False, prefetch=2))
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a["tokens"], b["tokens"])
