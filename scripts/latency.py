@@ -1,0 +1,72 @@
+"""Latency + throughput sweep reproducing the reference protocol.
+
+Reference: ``translate.py -latency`` forces batch_size=1 and reports the mean
+wall-clock of translate_batch per sample (translate.py:149-151,
+misc/run.py:139-143, 212-214). This script measures the flagship NACF decode
+at B=1 (latency) and a batch sweep (throughput), printing a JSON summary.
+
+    python scripts/latency.py [--batches 1 64 256 512]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", nargs="+", type=int, default=[1, 64, 256, 512])
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--vocab", type=int, default=10048)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding import make_nar_generator
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.runtime.train_step import make_encode_fn
+
+    results = {}
+    for b in args.batches:
+        cfg = default_config("NACF", dataset="MSRVTT", vocab_size=args.vocab,
+                             batch_size=b, use_pallas=True)
+        model = build_model(cfg)
+        variables = init_params(model, jax.random.PRNGKey(0), cfg)
+        tcfg = default_config("ARB", dataset="MSRVTT", vocab_size=args.vocab,
+                              batch_size=b)
+        teacher = build_model(tcfg)
+        tvars = init_params(teacher, jax.random.PRNGKey(1), tcfg)
+        gen = make_nar_generator(cfg, model, teacher)
+
+        rng = np.random.RandomState(0)
+        feats = [jnp.asarray(rng.randn(b, cfg.n_frames, d).astype(np.float32))
+                 for d in cfg.modality_dims]
+        category = jnp.asarray(rng.randint(0, cfg.num_category, (b, 1)), np.int32)
+        encode = make_encode_fn(cfg, model)
+        tencode = make_encode_fn(cfg, teacher)
+        enc = encode(variables["params"], variables.get("batch_stats", {}), feats)
+        tenc = tencode(tvars["params"], tvars.get("batch_stats", {}), feats)
+
+        for _ in range(3):
+            np.asarray(gen(variables, enc, category, tvars, tenc, None))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = np.asarray(gen(variables, enc, category, tvars, tenc, None))
+        dt = (time.perf_counter() - t0) / args.iters
+        results["B=%d" % b] = {
+            "latency_ms": round(dt * 1000, 2),
+            "captions_per_sec": round(b / dt, 1),
+        }
+        print("B=%4d: %8.2f ms  %10.1f captions/s"
+              % (b, dt * 1000, b / dt), file=sys.stderr)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,3 +82,12 @@ def test_nab_no_ct(synth):
     out = train_network_all(cfg, workdir=workdir, info_corpus=corpus,
                             references=refs, in_memory_feats=feats, verbose=False)
     assert "CIDEr" in out["test_res"]
+
+
+def test_arb2_visual_word_ar(synth):
+    tmp, corpus, refs, feats = synth
+    workdir = os.path.join(str(tmp), "ARB2")
+    cfg = tiny_cfg("ARB2", tmp, epochs=1)
+    out = train_network_all(cfg, workdir=workdir, info_corpus=corpus,
+                            references=refs, in_memory_feats=feats, verbose=False)
+    assert "CIDEr" in out["test_res"]
