@@ -13,13 +13,21 @@ import jax.numpy as jnp
 
 
 def _ordinal_ranks(values: jnp.ndarray, descending: bool = False) -> jnp.ndarray:
-    """(B, L) -> (B, L) ordinal ranks (0 = first in sort order), stable ties."""
-    order = jnp.argsort(-values if descending else values, axis=-1, stable=True)
-    ranks = jnp.zeros_like(order)
-    b, l = values.shape
-    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, l))
-    ranks = ranks.at[rows, order].set(jnp.broadcast_to(jnp.arange(l)[None, :], (b, l)))
-    return ranks
+    """(B, L) -> (B, L) ordinal ranks (0 = first in sort order), stable ties.
+
+    Computed by O(L^2) pairwise comparison instead of argsort: sequence
+    length is <= 30, so the (B, L, L) comparison tensor is tiny, and it runs
+    ~10x faster than TPU's bitonic sort networks in the refinement scan.
+    rank(i) = #{j : v_j strictly-before v_i} + #{j < i : v_j ties v_i}.
+    """
+    v = -values if descending else values
+    vi = v[:, :, None]  # candidate i
+    vj = v[:, None, :]  # compared j
+    before = (vj < vi).sum(-1)
+    l = v.shape[-1]
+    idx = jnp.arange(l)
+    tie_before = ((vj == vi) & (idx[None, None, :] < idx[:, None][None])).sum(-1)
+    return before + tie_before
 
 
 def rank_mask_smallest(values: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:

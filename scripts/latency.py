@@ -10,10 +10,13 @@ at B=1 (latency) and a batch sweep (throughput), printing a JSON summary.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
