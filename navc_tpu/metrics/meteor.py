@@ -33,7 +33,9 @@ def _stem(w: str) -> str:
     if _stemmer is None:
         try:
             from nltk.stem.porter import PorterStemmer
-            _stemmer = PorterStemmer()
+            # classic Porter (1980): matches the native C++ stemmer exactly,
+            # so the Python and C++ METEOR backends agree bit-for-bit
+            _stemmer = PorterStemmer(mode="ORIGINAL_ALGORITHM")
         except Exception:  # fall back to identity stemming
             class _Id:
                 def stem(self, w):

@@ -47,15 +47,17 @@ class COCOScorer:
             bleu_scores = native.bleu_corpus(res_tok, gts_tok)
             _, bleu_per_img = corpus_bleu(res_tok, gts_tok)  # per-image detail
             cider, cider_per = native.cider_corpus(res_tok, gts_tok)
+            rouge, rouge_per = native.rouge_corpus(res_tok, gts_tok)
+            meteor, meteor_per = native.meteor_corpus(res_tok, gts_tok)
         else:
             bleu_scores, bleu_per_img = corpus_bleu(res_tok, gts_tok)
             cider, cider_per = corpus_cider(res_tok, gts_tok)
+            rouge, rouge_per = corpus_rouge_l(res_tok, gts_tok)
+            meteor, meteor_per = corpus_meteor(res_tok, gts_tok)
 
         for k, s in enumerate(bleu_scores):
             self._set("Bleu_%d" % (k + 1), s, ids, bleu_per_img[k])
-        meteor, meteor_per = corpus_meteor(res_tok, gts_tok)
         self._set("METEOR", meteor, ids, meteor_per)
-        rouge, rouge_per = corpus_rouge_l(res_tok, gts_tok)
         self._set("ROUGE_L", rouge, ids, rouge_per)
         self._set("CIDEr", cider, ids, cider_per)
 

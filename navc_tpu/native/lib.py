@@ -47,6 +47,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int)]
         lib.navc_cider_corpus.restype = ctypes.c_void_p
         lib.navc_cider_corpus.argtypes = lib.navc_bleu_corpus.argtypes
+        lib.navc_rouge_corpus.restype = ctypes.c_void_p
+        lib.navc_rouge_corpus.argtypes = lib.navc_bleu_corpus.argtypes
+        lib.navc_meteor_corpus.restype = ctypes.c_void_p
+        lib.navc_meteor_corpus.argtypes = lib.navc_bleu_corpus.argtypes
+        lib.navc_porter_stem.restype = ctypes.c_void_p
+        lib.navc_porter_stem.argtypes = [ctypes.c_char_p]
         lib.navc_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except OSError:
@@ -104,3 +110,26 @@ def cider_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
     ptr = lib.navc_cider_corpus(hyp_arr, len(vids), ref_arr, off_arr)
     arr = json.loads(_take_string(lib, ptr))
     return arr[0], arr[1:]
+
+
+def _mean_per_image(fn_name: str, hyps, refs) -> Tuple[float, List[float]]:
+    lib = get_lib()
+    assert lib is not None
+    vids, hyp_arr, ref_arr, off_arr = _pack_corpus(hyps, refs)
+    ptr = getattr(lib, fn_name)(hyp_arr, len(vids), ref_arr, off_arr)
+    arr = json.loads(_take_string(lib, ptr))
+    return arr[0], arr[1:]
+
+
+def rouge_corpus(hyps, refs) -> Tuple[float, List[float]]:
+    return _mean_per_image("navc_rouge_corpus", hyps, refs)
+
+
+def meteor_corpus(hyps, refs) -> Tuple[float, List[float]]:
+    return _mean_per_image("navc_meteor_corpus", hyps, refs)
+
+
+def porter_stem(word: str) -> str:
+    lib = get_lib()
+    assert lib is not None
+    return _take_string(lib, lib.navc_porter_stem(word.encode("utf-8")))

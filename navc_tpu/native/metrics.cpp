@@ -342,3 +342,154 @@ char* navc_cider_corpus(const char** hyps, int n, const char** refs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ROUGE-L and METEOR-equivalent (see navc_tpu/metrics/{rouge,meteor}.py)
+// ---------------------------------------------------------------------------
+
+#include "porter.h"
+
+namespace {
+
+const double kRougeBeta = 1.2;
+const double kMeteorAlpha = 0.9;
+const double kMeteorBeta = 3.0;
+const double kMeteorGamma = 0.5;
+
+int lcs_len(const std::vector<std::string>& a, const std::vector<std::string>& b) {
+  if (a.empty() || b.empty()) return 0;
+  std::vector<int> prev(b.size() + 1, 0), cur(b.size() + 1, 0);
+  for (size_t i = 0; i < a.size(); ++i) {
+    for (size_t j = 1; j <= b.size(); ++j) {
+      cur[j] = (a[i] == b[j - 1]) ? prev[j - 1] + 1
+                                  : std::max(prev[j], cur[j - 1]);
+    }
+    std::swap(prev, cur);
+    std::fill(cur.begin(), cur.end(), 0);
+  }
+  return prev[b.size()];
+}
+
+double sentence_rouge_l(const std::vector<std::string>& hyp,
+                        const std::vector<std::string>& refs_raw) {
+  double pmax = 0, rmax = 0;
+  for (const auto& r : refs_raw) {
+    auto rt = split_ws(r);
+    int l = lcs_len(rt, hyp);
+    if (!hyp.empty()) pmax = std::max(pmax, double(l) / hyp.size());
+    if (!rt.empty()) rmax = std::max(rmax, double(l) / rt.size());
+  }
+  if (pmax != 0 && rmax != 0) {
+    double b2 = kRougeBeta * kRougeBeta;
+    return ((1 + b2) * pmax * rmax) / (rmax + b2 * pmax);
+  }
+  return 0.0;
+}
+
+// greedy monotone one-to-one alignment: exact stage then stem stage
+// (mirrors navc_tpu/metrics/meteor.py _align)
+std::vector<std::pair<int, int>> meteor_align(
+    const std::vector<std::string>& h, const std::vector<std::string>& r) {
+  std::vector<std::pair<int, int>> matches;
+  std::vector<bool> used_h(h.size(), false), used_r(r.size(), false);
+
+  for (int stage = 0; stage < 2; ++stage) {
+    std::vector<std::string> hk(h.size()), rk(r.size());
+    for (size_t i = 0; i < h.size(); ++i)
+      hk[i] = stage == 0 ? h[i] : porter::stem(h[i]);
+    for (size_t i = 0; i < r.size(); ++i)
+      rk[i] = stage == 0 ? r[i] : porter::stem(r[i]);
+    int last_r = -1;
+    for (size_t hi = 0; hi < h.size(); ++hi) {
+      if (used_h[hi]) continue;
+      int cand = -1;
+      for (size_t ri = 0; ri < r.size(); ++ri) {
+        if (used_r[ri] || rk[ri] != hk[hi]) continue;
+        if (static_cast<int>(ri) > last_r) { cand = static_cast<int>(ri); break; }
+        if (cand < 0) cand = static_cast<int>(ri);
+      }
+      if (cand >= 0) {
+        used_h[hi] = true;
+        used_r[cand] = true;
+        matches.emplace_back(static_cast<int>(hi), cand);
+        last_r = cand;
+      }
+    }
+  }
+  std::sort(matches.begin(), matches.end());
+  return matches;
+}
+
+int meteor_chunks(const std::vector<std::pair<int, int>>& m) {
+  if (m.empty()) return 0;
+  int chunks = 1;
+  for (size_t i = 1; i < m.size(); ++i) {
+    if (!(m[i].first == m[i - 1].first + 1 && m[i].second == m[i - 1].second + 1))
+      chunks += 1;
+  }
+  return chunks;
+}
+
+double sentence_meteor(const std::vector<std::string>& h,
+                       const std::vector<std::string>& refs_raw) {
+  double best = 0.0;
+  for (const auto& rs : refs_raw) {
+    auto r = split_ws(rs);
+    if (h.empty() || r.empty()) continue;
+    auto matches = meteor_align(h, r);
+    int m = static_cast<int>(matches.size());
+    if (m == 0) continue;
+    double p = double(m) / h.size();
+    double rec = double(m) / r.size();
+    double fmean = p * rec / (kMeteorAlpha * p + (1 - kMeteorAlpha) * rec);
+    double frag = double(meteor_chunks(matches)) / m;
+    double score = fmean * (1 - kMeteorGamma * std::pow(frag, kMeteorBeta));
+    best = std::max(best, score);
+  }
+  return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Classic Porter stem of one word.
+char* navc_porter_stem(const char* word) {
+  return dup_string(porter::stem(word ? word : ""));
+}
+
+// Corpus ROUGE-L: returns JSON [mean, per_image...].
+char* navc_rouge_corpus(const char** hyps, int n, const char** refs,
+                        const int* ref_off) {
+  std::vector<double> out;
+  out.push_back(0);
+  double total = 0;
+  for (int i = 0; i < n; ++i) {
+    auto h = split_ws(hyps[i]);
+    std::vector<std::string> rs(refs + ref_off[i], refs + ref_off[i + 1]);
+    double s = sentence_rouge_l(h, rs);
+    out.push_back(s);
+    total += s;
+  }
+  out[0] = n ? total / n : 0.0;
+  return dup_string(json_array(out));
+}
+
+// Corpus METEOR-equivalent: returns JSON [mean, per_image...].
+char* navc_meteor_corpus(const char** hyps, int n, const char** refs,
+                         const int* ref_off) {
+  std::vector<double> out;
+  out.push_back(0);
+  double total = 0;
+  for (int i = 0; i < n; ++i) {
+    auto h = split_ws(hyps[i]);
+    std::vector<std::string> rs(refs + ref_off[i], refs + ref_off[i + 1]);
+    double s = sentence_meteor(h, rs);
+    out.push_back(s);
+    total += s;
+  }
+  out[0] = n ? total / n : 0.0;
+  return dup_string(json_array(out));
+}
+
+}  // extern "C"

@@ -40,3 +40,42 @@ def test_native_cider_matches_python():
     c_score, c_per = native.cider_corpus(RES, GTS)
     assert abs(c_score - py_score) < 1e-10
     np.testing.assert_allclose(c_per, py_per, rtol=1e-10)
+
+
+@needs_native
+def test_native_porter_matches_nltk_original():
+    from nltk.stem.porter import PorterStemmer
+    s = PorterStemmer(mode="ORIGINAL_ALGORITHM")
+    words = ("running flies died agreed plastered motoring sing conflated "
+             "troubled sized hopping tanned falling hissing fizzed failing "
+             "filing happy sky relational conditional rational valenci "
+             "hesitanci digitizer conformabli radicalli differentli vileli "
+             "analogousli vietnamization predication operator feudalism "
+             "decisiveness hopefulness callousness formaliti sensitiviti "
+             "sensibiliti triplicate formative formalize electriciti "
+             "electrical hopeful goodness revival allowance inference "
+             "airliner gyroscopic adjustable defensible irritant replacement "
+             "adjustment dependent adoption communism activate angulariti "
+             "homologous effective bowdlerize probate rate cease roll "
+             "a man is walking dogs cats playing jumped").split()
+    mismatches = [(w, native.porter_stem(w), s.stem(w))
+                  for w in words if native.porter_stem(w) != s.stem(w)]
+    assert not mismatches, mismatches
+
+
+@needs_native
+def test_native_rouge_matches_python():
+    from navc_tpu.metrics import corpus_rouge_l
+    py_score, py_per = corpus_rouge_l(RES, GTS)
+    c_score, c_per = native.rouge_corpus(RES, GTS)
+    assert abs(c_score - py_score) < 1e-10
+    np.testing.assert_allclose(c_per, py_per, rtol=1e-10)
+
+
+@needs_native
+def test_native_meteor_matches_python():
+    from navc_tpu.metrics import corpus_meteor
+    py_score, py_per = corpus_meteor(RES, GTS)
+    c_score, c_per = native.meteor_corpus(RES, GTS)
+    assert abs(c_score - py_score) < 1e-10
+    np.testing.assert_allclose(c_per, py_per, rtol=1e-10)
