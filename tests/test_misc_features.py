@@ -208,3 +208,49 @@ def test_prefetch_loader_matches_sync(corpus_and_feats):
     assert len(sync) == len(pre)
     for a, b in zip(sync, pre):
         np.testing.assert_array_equal(a["tokens"], b["tokens"])
+
+
+def test_pos_attention_decoder():
+    cfg = small_cfg(pos_attention=True)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    feats = [jnp.ones((2, cfg.n_frames, d)) for d in cfg.modality_dims]
+    tokens = jnp.full((2, cfg.max_len), C.MASK, jnp.int32)
+    out = model.apply(variables, feats, tokens, None, deterministic=True)
+    (lp,) = out["tgt_word_logprobs"]
+    assert lp.shape == (2, cfg.max_len, cfg.vocab_size)
+    assert np.isfinite(np.asarray(lp)).all()
+    # the pos-attention block adds parameters
+    assert "pos_attention" in variables["params"]["decoder"]["layer_0"]
+
+
+def test_multi_layer_decoder():
+    cfg = small_cfg(num_hidden_layers_decoder=2)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    assert "layer_1" in variables["params"]["decoder"]
+    feats = [jnp.ones((2, cfg.n_frames, d)) for d in cfg.modality_dims]
+    tokens = jnp.full((2, cfg.max_len), C.MASK, jnp.int32)
+    out = model.apply(variables, feats, tokens, None, deterministic=True)
+    assert np.isfinite(np.asarray(out["tgt_word_logprobs"][0])).all()
+
+
+def test_load_feats_type_0_shared_frame_ids(corpus_and_feats):
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg(load_feats_type=0)
+    ds = VideoDataset(cfg, "validate", info_corpus=corpus, in_memory_feats=feats)
+    item = ds[0]
+    assert item["feats_i"].shape == (cfg.n_frames, cfg.dim_i)
+    assert item["feats_m"].shape == (cfg.n_frames, cfg.dim_m)
+
+
+def test_tie_weights_forward():
+    cfg = small_cfg(tie_weights=True)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    assert "tgt_word_prj" not in variables["params"]
+    assert "tgt_word_prj_bias" in variables["params"]
+    feats = [jnp.ones((2, cfg.n_frames, d)) for d in cfg.modality_dims]
+    tokens = jnp.full((2, cfg.max_len), C.MASK, jnp.int32)
+    out = model.apply(variables, feats, tokens, None, deterministic=True)
+    assert np.isfinite(np.asarray(out["tgt_word_logprobs"][0])).all()
