@@ -26,6 +26,9 @@ import numpy as np
 
 def build_flagship():
     import jax
+
+    from navc_tpu.runtime.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from navc_tpu import constants as C

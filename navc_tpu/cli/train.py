@@ -18,6 +18,8 @@ from .opts import parse_config
 
 
 def main(argv=None):
+    from ..runtime.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = parse_config(argv)
     if cfg.seed == -1:
         cfg = cfg.replace(seed=random.randint(1, 65534))

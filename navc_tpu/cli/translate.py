@@ -93,6 +93,8 @@ def get_dict_mapping(cfg: Config, teacher_cfg: Config, info_corpus, teacher_info
 
 
 def main(argv=None):
+    from ..runtime.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     opt = build_parser().parse_args(argv)
 
     if opt.default:

@@ -25,6 +25,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from navc_tpu.runtime.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from navc_tpu import constants as C
