@@ -187,6 +187,7 @@ class Config:
     # -- TPU-native extensions (no reference analogue) ----------------------
     compute_dtype: str = "bfloat16"  # dtype for matmuls on-device
     use_pallas: bool = False  # fused Pallas attention kernel for the decoder
+    remat: bool = False  # rematerialize the forward in backward (saves HBM)
     mesh_shape: Dict[str, int] = field(default_factory=dict)  # e.g. {"data": 8}
     prefetch_depth: int = 2  # host->device prefetch queue depth
 

@@ -105,6 +105,40 @@ class BatchLoader:
             raise error[0]
 
 
+def device_prefetch(iterator, depth: int = 2):
+    """Wrap a batch iterator with async host->device staging.
+
+    Keeps ``depth`` batches already transferred (jax.device_put) while the
+    current step runs, overlapping PCIe/ICI transfer with compute — the
+    TPU-native replacement for torch pin_memory/non_blocking copies.
+    Non-array entries (video ids) pass through untouched.
+    """
+    import collections
+
+    import jax
+    import numpy as np
+
+    queue = collections.deque()
+
+    def stage(batch):
+        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(stage(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(stage(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def get_loader(cfg, mode: str, info_corpus=None, feature_sources=None,
                in_memory_feats=None, batch_size: Optional[int] = None,
                specific: int = -1, prefetch: Optional[int] = None) -> BatchLoader:

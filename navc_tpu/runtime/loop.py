@@ -34,13 +34,19 @@ def run_train_epoch(cfg: Config, train_step, state: TrainState, loader: BatchLoa
                     lr_schedule: LrSchedule, rng_key, logger: Optional[CsvLogger] = None,
                     epoch: int = -1):
     """One epoch of jitted steps (reference run_train, run.py:249-269)."""
+    from ..data.loader import device_prefetch
+
     meters: Dict[str, AverageMeter] = {}
-    for i, batch in enumerate(loader):
+
+    def array_batches():
+        for batch in loader:
+            yield {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+    for i, device_batch in enumerate(
+            device_prefetch(array_batches(), depth=cfg.prefetch_depth)):
         lr = lr_schedule.step_lr()
         state.opt_state.hyperparams["learning_rate"] = lr
         rng_key, step_key = jax.random.split(rng_key)
-        device_batch = {k: v for k, v in batch.items()
-                        if isinstance(v, np.ndarray)}
         state, metrics = train_step(state, device_batch, step_key)
         n = float(metrics["num_samples"])
         for name in ("total_loss", "lang_loss", "length_loss"):

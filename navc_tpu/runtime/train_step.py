@@ -84,13 +84,21 @@ def _forward_results(cfg: Config, model: Seq2Seq, variables, batch: Dict,
 def make_train_step(cfg: Config, model: Seq2Seq, tx: optax.GradientTransformation):
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
-    def loss_fn(params, batch_stats, batch, dropout_rng):
+    def forward(params, batch_stats, batch, dropout_rng):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        results, new_batch_stats = _forward_results(
+        return _forward_results(
             cfg, model, variables, batch, deterministic=False,
             dropout_rng=dropout_rng, mutable=bool(batch_stats))
+
+    if cfg.remat:
+        # trade recompute for activation memory (jax.checkpoint); useful for
+        # deep decoder stacks / long feature streams
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, batch, dropout_rng):
+        results, new_batch_stats = forward(params, batch_stats, batch, dropout_rng)
         loss, metrics = compute_losses(cfg, results, batch.get("valid_mask"))
         return loss, (metrics, new_batch_stats)
 

@@ -254,3 +254,50 @@ def test_tie_weights_forward():
     tokens = jnp.full((2, cfg.max_len), C.MASK, jnp.int32)
     out = model.apply(variables, feats, tokens, None, deterministic=True)
     assert np.isfinite(np.asarray(out["tgt_word_logprobs"][0])).all()
+
+
+def test_remat_training_matches_plain():
+    from navc_tpu.runtime.train_step import create_train_state, make_train_step
+    cfg = small_cfg("NAB")
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    b = 4
+    batch = {
+        "tokens": jnp.asarray(rng.randint(4, 40, (b, cfg.max_len)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(4, 40, (b, cfg.max_len)), jnp.int32),
+        "length_target": jnp.asarray(
+            rng.dirichlet(np.ones(cfg.max_len), b).astype(np.float32)),
+        "category": jnp.zeros((b, 1), jnp.int32),
+        "valid_mask": jnp.ones(b, jnp.float32),
+    }
+    for ch in cfg.modality.lower():
+        batch["feats_%s" % ch] = jnp.asarray(
+            rng.randn(b, cfg.n_frames, getattr(cfg, "dim_%s" % ch)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    losses = {}
+    for remat in (False, True):
+        c = cfg.replace(remat=remat)
+        state, tx = create_train_state(c, model, variables)
+        step = make_train_step(c, model, tx)
+        new_state, m = step(state, batch, key)
+        losses[remat] = float(m["total_loss"])
+    assert abs(losses[False] - losses[True]) < 1e-5
+
+
+def test_training_is_deterministic_per_seed(corpus_and_feats):
+    from navc_tpu.runtime.loop import train_network_all
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg("NAB").replace(
+        epochs=1, no_test=True, hidden_dropout_prob=0.1, encoder_dropout=0.1,
+        length_beam_size=2, iterations=2)
+    import tempfile
+    losses = []
+    for trial in range(2):
+        with tempfile.TemporaryDirectory() as d:
+            out = train_network_all(cfg, workdir=d, info_corpus=corpus,
+                                    references=refs, in_memory_feats=feats,
+                                    verbose=False)
+            losses.append(out["history"][0]["train_loss"])
+    assert losses[0] == losses[1], losses
