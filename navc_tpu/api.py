@@ -14,9 +14,8 @@ Example:
 from __future__ import annotations
 
 import pickle
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from . import constants as C

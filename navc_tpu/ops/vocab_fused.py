@@ -19,7 +19,7 @@ VMEM scratch carry across vocab tiles of the same token tile.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

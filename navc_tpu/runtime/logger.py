@@ -14,7 +14,6 @@ from __future__ import annotations
 import csv
 import heapq
 import os
-import shutil
 from typing import Dict, List, Optional, Tuple
 
 

@@ -20,7 +20,6 @@ from ..data.loader import BatchLoader, get_loader
 from ..models import build_model, init_params
 from .checkpoint import (load_model_and_config, load_satisfied_weights,
                          save_checkpoint)
-from .crit import compute_losses
 from .evaluate import Evaluator, run_eval
 from .logger import AverageMeter, CsvLogger, KBestQueue
 from .optim import LrSchedule

@@ -12,8 +12,7 @@ all-reduce automatically (see navc_tpu.parallel.mesh for the shardings).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
