@@ -61,6 +61,42 @@ def load_model_and_config(path: str) -> Tuple[Any, Dict[str, Any], Config, Dict[
     return model, variables, cfg, other
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): sharded/async checkpointing for large-scale runs.
+# The pickle format above remains the default interchange format (small
+# models, self-describing single file); orbax adds atomic-rename durability
+# and per-array chunking for multi-host deployments.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(state: Dict[str, Any], directory: str) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    payload = dict(state)
+    if "settings" in payload and isinstance(payload["settings"], Config):
+        payload["settings"] = payload["settings"].to_dict()
+    arrays = {k: payload.pop(k) for k in ("params", "batch_stats", "opt_state")
+              if payload.get(k) is not None}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "arrays"), _to_numpy(arrays), force=True)
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+def load_checkpoint_orbax(directory: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        arrays = ckptr.restore(os.path.join(path, "arrays"))
+    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    payload.update(arrays)
+    return payload
+
+
 def _flatten_with_paths(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):

@@ -41,3 +41,35 @@ def test_resume_continues_from_checkpoint(tmp_path):
     assert ckpt2["epoch"] == 3
     # lr decayed across all three epochs total
     assert ckpt2["lr_schedule"]["learning_rate"] < ckpt["lr_schedule"]["learning_rate"]
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    pytest_orbax = __import__("pytest")
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except Exception:
+        pytest_orbax.skip("orbax unavailable")
+    import jax
+    import numpy as np
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.runtime.checkpoint import (load_checkpoint_orbax,
+                                             save_checkpoint_orbax)
+
+    cfg = default_config(
+        "NAB", dataset="MSVD", vocab_size=40, dim_hidden=16,
+        num_attention_heads=2, intermediate_size=32, n_frames=4,
+        dim_i=12, dim_m=10, modality="mi", max_len=8,
+        compute_dtype="float32")
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    state = {"epoch": 3, "params": variables["params"],
+             "batch_stats": variables.get("batch_stats"),
+             "settings": cfg}
+    d = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(state, d)
+    loaded = load_checkpoint_orbax(d)
+    assert loaded["epoch"] == 3
+    assert loaded["settings"]["vocab_size"] == 40
+    a = jax.tree_util.tree_leaves(variables["params"])
+    b = jax.tree_util.tree_leaves(loaded["params"])
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
