@@ -62,3 +62,40 @@ def test_train_and_translate_cli(data_tree, tmp_path):
     ])
     assert "CIDEr" in results["test"]
     assert "ave_length" in results["test"]
+
+
+def test_full_nacf_workflow_cli(data_tree, tmp_path):
+    """The reference's canonical workflow (README.md:150-181): train ARB,
+    train NACF with the ARB teacher, evaluate NACF with --default + CT."""
+    from navc_tpu.cli.train import main as train_main
+    from navc_tpu.cli.translate import main as translate_main
+
+    ckpt_root = str(tmp_path / "experiments")
+    base = [
+        "--dataset", "MSVD", "--scope", "w",
+        "--modality", "i", "--dim_i", "12", "--dim_hidden", "16",
+        "--num_attention_heads", "2", "--intermediate_size", "32",
+        "--n_frames", "4", "--batch_size", "4",
+        "--epochs", "1", "--no_test",
+        "--feats_i_name", "image_feats.hdf5",
+        "--base_data_path", str(data_tree),
+        "--base_checkpoint_path", ckpt_root,
+        "--compute_dtype", "float32",
+        "--hidden_dropout_prob", "0.1",
+    ]
+    # --default applies max_len=20 for MSVD; our fixture captions are <= 8
+    train_main(base + ["--method", "ARB", "--default", "--max_len", "8"])
+    teacher = os.path.join(ckpt_root, "Youtube2Text", "ARB", "w", "best.ckpt")
+    assert os.path.exists(teacher)
+
+    train_main(base + ["--method", "NACF", "--default", "--max_len", "8",
+                       "--length_beam_size", "2", "--iterations", "2"])
+    student = os.path.join(ckpt_root, "Youtube2Text", "NACF", "w", "best.ckpt")
+    assert os.path.exists(student)
+
+    results = translate_main([
+        "--default", "--method", "NACF", "--dataset", "MSVD",
+        "--scope", "w", "-use_ct", "-em", "test",
+        "--base_checkpoint_path", ckpt_root,
+    ])
+    assert "CIDEr" in results["test"]
