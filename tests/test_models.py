@@ -180,3 +180,33 @@ def test_batchnorm_updates_stats_in_training():
     flat_old = jax.tree_util.tree_leaves(variables["batch_stats"])
     flat_new = jax.tree_util.tree_leaves(updates["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(flat_old, flat_new))
+
+
+def test_fusion_addition_and_none():
+    from navc_tpu.models.fusion import Fusion
+    rng = np.random.RandomState(0)
+    outs = [jnp.asarray(rng.randn(2, 4, 8).astype(np.float32)) for _ in range(2)]
+    hids = [o.mean(1) for o in outs]
+
+    fuse_add = Fusion(fusion="addition", norm_type="ln", num_streams=2, dim_hidden=8)
+    v = fuse_add.init(jax.random.PRNGKey(0), outs, hids)
+    out, hid = fuse_add.apply(v, outs, hids)
+    assert out.shape == (2, 4, 8)  # temporal mean, not concat
+
+    fuse_none = Fusion(fusion="none", no_encoder_bn=True, num_streams=2, dim_hidden=8)
+    v = fuse_none.init(jax.random.PRNGKey(0), outs, hids)
+    out, hid = fuse_none.apply(v, outs, hids)
+    assert out.shape == (2, 8, 8)  # plain concat, no norm
+    np.testing.assert_allclose(np.asarray(out),
+                               np.concatenate([np.asarray(o) for o in outs], 1),
+                               rtol=1e-6)
+    assert hid.shape == (2, 8)
+
+
+def test_sinusoid_position_encoding():
+    from navc_tpu.models.layers import sinusoid_position_encoding
+    pe = np.asarray(sinusoid_position_encoding(10, 8))
+    assert pe.shape == (10, 8)
+    np.testing.assert_allclose(pe[0, 0::2], 0.0, atol=1e-7)   # sin(0)
+    np.testing.assert_allclose(pe[0, 1::2], 1.0, atol=1e-7)   # cos(0)
+    assert np.abs(pe).max() <= 1.0 + 1e-6
