@@ -112,6 +112,57 @@ def make_synthetic_feats(cfg: Config, n_videos: int = 12, n_total_frames: int = 
     return feats
 
 
+def make_learnable_synthetic(cfg: Config, n_videos: int = 24, n_classes: int = 4,
+                             vocab_size: int = 40, n_total_frames: int = 10,
+                             seed: int = 0):
+    """A *learnable* fixture: each video belongs to a latent class; features
+    cluster by class and every video of a class shares the class caption.
+    A working model should reach near-perfect captions on held-out videos of
+    seen classes — used by the learning sanity test.
+
+    Returns (info_corpus, references, feats).
+    """
+    rng = np.random.RandomState(seed)
+    corpus, references = make_synthetic_corpus(
+        cfg, n_videos=n_videos, n_caps=1, vocab_size=vocab_size, seed=seed)
+    itow = corpus["info"]["itow"]
+
+    # one fixed caption per class
+    class_caps = []
+    for c in range(n_classes):
+        length = 5 + c % 3
+        word_ids = list(rng.randint(C.NUM_SPECIAL_TOKENS, vocab_size, size=length))
+        class_caps.append(word_ids)
+
+    length_info = {}
+    for v in range(n_videos):
+        vid = "video%d" % v
+        cls = v % n_classes
+        wid = class_caps[cls]
+        corpus["captions"][vid] = [[C.BOS] + wid + [C.EOS]]
+        corpus["pos_tags"][vid] = [[C.BOS] + [6] * len(wid) + [C.EOS]]
+        references[vid] = [{
+            "image_id": vid, "cap_id": 0,
+            "caption": " ".join(itow[w] for w in wid)}]
+        hist = [0] * 50
+        hist[len(wid)] = 1
+        length_info[vid] = hist
+    corpus["info"]["length_info"] = length_info
+
+    centers = {ch: rng.randn(n_classes, getattr(cfg, "dim_%s" % ch)) * 3.0
+               for ch in cfg.modality.lower()}
+    feats: Dict[str, Dict[str, np.ndarray]] = {}
+    for ch in cfg.modality.lower():
+        dim = getattr(cfg, "dim_%s" % ch)
+        feats["feats_%s" % ch] = {}
+        for v in range(n_videos):
+            cls = v % n_classes
+            base = centers[ch][cls][None, :]
+            feats["feats_%s" % ch]["video%d" % v] = (
+                base + 0.1 * rng.randn(n_total_frames, dim)).astype(np.float32)
+    return corpus, references, feats
+
+
 def write_hdf5_feats(path: str, feats_for_modality: Dict[str, np.ndarray]) -> None:
     """Persist one modality's synthetic features as an HDF5 store."""
     import h5py
