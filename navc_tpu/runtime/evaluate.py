@@ -143,6 +143,9 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
 
     res: Dict[str, Any] = {}
     if cfg.batch_size == 1 and n_batches:
+        # NOTE: includes the encode forward; the reference's -latency excludes
+        # it (misc/run.py:130 vs 139-143). scripts/latency.py reproduces the
+        # exact reference protocol (encode outside the timed region).
         res["latency"] = all_time / n_batches
 
     if analyze:
