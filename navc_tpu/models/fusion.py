@@ -14,7 +14,7 @@ used at eval, matching torch BatchNorm1d semantics (momentum 0.1, eps 1e-5).
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
