@@ -99,3 +99,42 @@ def test_full_nacf_workflow_cli(data_tree, tmp_path):
         "--base_checkpoint_path", ckpt_root,
     ])
     assert "CIDEr" in results["test"]
+
+
+def test_translate_collect_writes_pickle(data_tree, tmp_path):
+    """NAR candidate-collection mode writes the per-iteration pickle
+    (reference translate.py -collect / misc/run.py:202-210)."""
+    import pickle
+    from navc_tpu.cli.translate import main as translate_main
+
+    ckpt_root = str(tmp_path / "experiments")
+    from navc_tpu.cli.train import main as train_main
+    base = [
+        "--dataset", "MSVD", "--scope", "c", "--method", "NAB",
+        "--modality", "i", "--dim_i", "12", "--dim_hidden", "16",
+        "--num_attention_heads", "2", "--intermediate_size", "32",
+        "--n_frames", "4", "--batch_size", "4", "--max_len", "8",
+        "--epochs", "1", "--no_test",
+        "--length_beam_size", "2", "--iterations", "2",
+        "--feats_i_name", "image_feats.hdf5",
+        "--base_data_path", str(data_tree),
+        "--base_checkpoint_path", ckpt_root,
+        "--compute_dtype", "float32", "--hidden_dropout_prob", "0.1",
+    ]
+    train_main(base)
+    model = os.path.join(ckpt_root, "Youtube2Text", "NAB", "c", "best.ckpt")
+
+    collect_dir = str(tmp_path / "collected")
+    translate_main([
+        "--model_path", model, "-em", "test",
+        "-i", "2", "-lbs", "2",
+        "-collect", "-collect_path", collect_dir,
+    ])
+    files = os.listdir(collect_dir)
+    assert len(files) == 1, files
+    with open(os.path.join(collect_dir, files[0]), "rb") as f:
+        sents, scores = pickle.load(f)
+    assert sents and scores
+    vid = next(iter(sents))
+    assert len(sents[vid]) == 2  # one sentence per iteration
+    assert isinstance(sents[vid][0], str)
