@@ -84,3 +84,22 @@ def test_modality_dims():
     assert cfg.modality_dims == [2048, 2048]
     cfg = Config(modality="i", dim_i=512)
     assert cfg.modality_dims == [512]
+
+
+def test_resolve_data_paths_layout():
+    from navc_tpu.config import resolve_data_paths, where_to_save_model
+    cfg = default_config("ARB", dataset="MSRVTT", base_data_path="/data",
+                         base_checkpoint_path="/ckpt", scope="s")
+    cfg = resolve_data_paths(cfg)
+    # reference train.py:15-26, 67-70 layout
+    assert cfg.info_corpus == "/data/MSRVTT/info_corpus.pkl"
+    assert cfg.reference == "/data/MSRVTT/refs.pkl"
+    assert cfg.feats_i == ["/data/MSRVTT/feats/image_resnet101_imagenet_fps_max60.hdf5"]
+    assert cfg.feats_m == ["/data/MSRVTT/feats/motion_resnext101_kinetics_duration16_overlap8.hdf5"]
+    assert where_to_save_model(cfg) == "/ckpt/MSRVTT/ARB/s"
+
+
+def test_crit_key_property():
+    cfg = default_config("NACF", dataset="MSRVTT")
+    assert cfg.crit_key[0] == ("tgt_word_logprobs", "tgt_word_labels")
+    assert cfg.crit_key[1] == ("pred_length", "tgt_length")
