@@ -215,3 +215,34 @@ def test_beam_search_parity():
         got = list(hyp[: len(ref_hyps[i])])
         assert got == ref_hyps[i], (got, ref_hyps[i])
         assert abs(float(jax_scores[i]) - ref_scores[i]) < 1e-4
+
+
+@pytest.mark.parametrize("seed,alpha,beam", [(11, 0.75, 2), (12, 1.35, 4), (13, 1.0, 5)])
+def test_beam_search_parity_sweep(seed, alpha, beam):
+    """Beam parity across seeds / alphas / widths (EOS-early, length-penalty
+    reordering, max_len fallback corners)."""
+    cfg = small_cfg("ARB").replace(beam_size=beam, beam_alpha=alpha)
+    model, variables, enc = setup_model(cfg, seed=seed)
+
+    gen = make_ar_generator(cfg, model, jit=False)
+    jax_hyp, jax_scores = gen(variables, enc, None)
+
+    enc_tiled = enlarge(enc["enc_output"], cfg.beam_size)
+
+    def decode_step(prefix_np):
+        t = prefix_np.shape[1]
+        padded = np.zeros((prefix_np.shape[0], cfg.max_len), np.int32)
+        padded[:, :t] = prefix_np
+        lp, _ = model.apply(
+            variables, jnp.asarray(padded), enc_tiled, None, "ARFormer", True,
+            method=lambda m, *a: m.decode_logprobs(*a))
+        return np.asarray(lp[:, t - 1, :], np.float64)
+
+    ref_hyps, ref_scores = ref.np_beam_search(
+        decode_step, 2, cfg.beam_size, cfg.max_len, cfg.beam_alpha)
+
+    for i in range(2):
+        hyp = np.asarray(jax_hyp[i])
+        got = list(hyp[: len(ref_hyps[i])])
+        assert got == ref_hyps[i], (seed, got, ref_hyps[i])
+        assert abs(float(jax_scores[i]) - ref_scores[i]) < 1e-4
