@@ -246,3 +246,37 @@ def test_beam_search_parity_sweep(seed, alpha, beam):
         got = list(hyp[: len(ref_hyps[i])])
         assert got == ref_hyps[i], (seed, got, ref_hyps[i])
         assert abs(float(jax_scores[i]) - ref_scores[i]) < 1e-4
+
+
+@pytest.mark.parametrize("seed,lbs,iters,use_ct", [
+    (21, 1, 1, False),   # single length beam, single iteration
+    (22, 2, 2, True),    # CT with small beams
+    (23, 4, 5, False),   # default-like iteration count
+])
+def test_mask_predict_parity_sweep(seed, lbs, iters, use_ct):
+    method = "NACF" if use_ct else "NAB"
+    cfg = small_cfg(method).replace(
+        use_ct=use_ct, length_beam_size=lbs, iterations=iters)
+    model, variables, enc = setup_model(cfg, seed=seed)
+
+    beam = predict_length_beam(enc["pred_length"], lbs, 0, cfg.max_len)
+    tokens, pad_mask, lengths = build_canvas(beam, cfg.max_len)
+    enc_tiled = enlarge(enc["enc_output"], lbs)
+
+    ctx = NARContext(enc_tiled, None, None, None, None)
+    predict = _predict_fn(model, variables, ctx)
+    jax_tokens, jax_lprobs = _mask_predict(
+        predict, None, tokens, pad_mask, lengths, cfg)
+
+    np_predict = make_np_predict(model, variables, enc_tiled)
+    ref_tokens, ref_lprobs = ref.np_mask_predict(
+        np_predict, None, np.asarray(tokens), np.asarray(pad_mask),
+        np.asarray(lengths), iters, use_ct)
+
+    np.testing.assert_array_equal(np.asarray(jax_tokens), ref_tokens)
+
+    gen = make_nar_generator(cfg, model, jit=False)
+    best = gen(variables, enc, None)
+    ref_best = ref.np_select_best_length_beam(
+        ref_tokens, ref_lprobs, np.asarray(lengths), 2, lbs, cfg.beam_alpha)
+    np.testing.assert_array_equal(np.asarray(best), ref_best)
