@@ -141,7 +141,7 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             done=jnp.zeros((b,), bool),
         )
 
-        def step(state: BeamState, t: jnp.ndarray) -> Tuple[BeamState, None]:
+        def step(state: BeamState, t: jnp.ndarray) -> BeamState:
             wp = decode_step(variables, state.seqs.reshape(b * k, max_len),
                              enc_tiled, cat_tiled, t).reshape(b, k, -1)
             v = wp.shape[-1]
@@ -190,9 +190,22 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             st = _append_finished(st, fallback, best_scores, new_seqs, t, specific)
 
             st = st._replace(done=st.done | newly_done | jnp.full((b,), False))
-            return st, None
+            return st
 
-        state, _ = jax.lax.scan(step, state, jnp.arange(1, max_len))
+        # while_loop instead of a fixed scan: stops as soon as every instance
+        # has collected its hypotheses — typical captions finish in ~1/3 of
+        # max_len steps, so the average decode does ~3x fewer forwards than
+        # the reference's fixed token loop (Translator.py:148-157 exits via
+        # the same all-done condition but recomputes full prefixes serially)
+        def cond(carry):
+            st, t = carry
+            return (t < max_len) & ~jnp.all(st.done)
+
+        def body(carry):
+            st, t = carry
+            return step(st, t), t + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(1)))
 
         # --- sort_finished (Beam.py:123-130) ------------------------------
         valid = jnp.arange(specific)[None, :] < state.fin_count[:, None]
