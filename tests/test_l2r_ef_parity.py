@@ -63,3 +63,22 @@ def test_easy_first_parity(use_ct, q):
     np.testing.assert_array_equal(np.asarray(jax_tokens), ref_tokens)
     np.testing.assert_allclose(np.asarray(jax_lprobs), ref_lprobs,
                                rtol=5e-3, atol=5e-3)
+
+
+def test_left2right_zero_refinement_iterations():
+    """translate --default sets q_iterations=0 without CT (translate.py:143)."""
+    cfg = small_cfg("NAB").replace(paradigm="l2r", q=1, q_iterations=0)
+    model, variables, enc = setup_model(cfg)
+    lbs = cfg.length_beam_size
+    beam = predict_length_beam(enc["pred_length"], lbs, 0, cfg.max_len)
+    tokens, pad_mask, lengths = build_canvas(beam, cfg.max_len)
+    enc_tiled = enlarge(enc["enc_output"], lbs)
+    ctx = NARContext(enc_tiled, None, None, None, None)
+    predict = _predict_fn(model, variables, ctx)
+    jax_tokens, _ = _left2right(predict, None, tokens, pad_mask, lengths, cfg)
+
+    np_predict = make_np_predict(model, variables, enc_tiled)
+    ref_tokens, _ = ref.np_left2right(
+        np_predict, None, np.asarray(tokens), np.asarray(pad_mask),
+        np.asarray(lengths), 1, 0, False)
+    np.testing.assert_array_equal(np.asarray(jax_tokens), ref_tokens)
