@@ -14,7 +14,7 @@ import subprocess
 from typing import Dict, List, Optional, Sequence, Tuple
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "libnavc_metrics.so")
+_SO = os.path.join(_HERE, "build", "libnavc_metrics.so")
 _lib = None
 _tried = False
 
