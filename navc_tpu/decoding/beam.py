@@ -93,6 +93,7 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         # at L=30 that is 30x wasted vocab-projection FLOPs)
         use_fused = (cfg.use_pallas and cfg.num_hidden_layers_decoder == 1
                      and not cfg.pos_attention and not cfg.with_layernorm
+                     and cfg.watch == 0 and cfg.hidden_act == "gelu_new"
                      and jax.default_backend() != "cpu")
         if use_fused:
             from ..ops.fused_layer import (fused_nar_decoder_layer,

@@ -72,7 +72,8 @@ def _predict_fn(model, variables, ctx: NARContext,
         # 1 layer, no pos-attention, no attention LayerNorm (all defaults)
         fully_fused = (cfg.num_hidden_layers_decoder == 1
                        and not cfg.pos_attention and not cfg.with_layernorm
-                       and cfg.enhance_input in (0, 2))
+                       and cfg.enhance_input in (0, 2)
+                       and cfg.hidden_act == "gelu_new")
         if fully_fused:
             from ..ops.fused_layer import (fused_nar_decoder_layer,
                                            layer_weights_from_params)
@@ -138,7 +139,8 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
     use_fused = (cfg is not None and cfg.use_pallas
                  and tcfg.num_hidden_layers_decoder == 1
                  and not tcfg.pos_attention and not tcfg.with_layernorm
-                 and not tcfg.tie_weights)
+                 and not tcfg.tie_weights and tcfg.watch == 0
+                 and tcfg.hidden_act == "gelu_new")
 
     if use_fused:
         from ..ops.fused_layer import (fused_nar_decoder_layer,
