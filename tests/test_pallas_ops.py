@@ -51,3 +51,37 @@ def test_fused_kernel_in_nar_generator():
     # bf16 rounding inside the kernel can flip rare near-ties; on this tiny
     # model the outputs should agree overwhelmingly
     assert (a == b).mean() > 0.9, (a, b)
+
+
+def test_fused_generator_with_teacher_interpret():
+    """use_pallas NACF path (fused student layer + fused teacher rescoring)
+    agrees with the XLA path on CPU interpret mode."""
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding import make_nar_generator
+    from navc_tpu.models import build_model, init_params
+
+    over = dict(
+        vocab_size=50, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
+        max_len=10, batch_size=2, length_beam_size=2, iterations=2,
+        compute_dtype="float32",
+    )
+    cfg = default_config("NAB", dataset="MSVD", **over)
+    tcfg = default_config("ARB", dataset="MSVD", **over)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    teacher = build_model(tcfg)
+    tvars = init_params(teacher, jax.random.PRNGKey(7), tcfg)
+
+    rng = np.random.RandomState(1)
+    feats = [jnp.asarray(rng.randn(2, cfg.n_frames, d).astype(np.float32))
+             for d in cfg.modality_dims]
+    enc = model.apply(variables, feats, method=lambda m, f: m.encode(f))
+    tenc = teacher.apply(tvars, feats, method=lambda m, f: m.encode(f))
+
+    plain = make_nar_generator(cfg, model, teacher, jit=False)
+    fused = make_nar_generator(cfg.replace(use_pallas=True), model, teacher,
+                               jit=False)
+    a = np.asarray(plain(variables, enc, None, tvars, tenc, None))
+    b = np.asarray(fused(variables, enc, None, tvars, tenc, None))
+    assert (a == b).mean() > 0.9, (a, b)
