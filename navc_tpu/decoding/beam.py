@@ -91,9 +91,10 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         # hidden states for the full prefix, then project ONLY position t-1
         # (the reference projects every position each step, Translator.py:108;
         # at L=30 that is 30x wasted vocab-projection FLOPs)
-        use_fused = (cfg.use_pallas and cfg.num_hidden_layers_decoder == 1
-                     and not cfg.pos_attention and not cfg.with_layernorm
-                     and cfg.watch == 0 and cfg.hidden_act == "gelu_new"
+        from ..ops.eligibility import fused_layer_eligible
+        # CPU interpret-mode is parity-tested elsewhere but too slow inside
+        # the beam while_loop, so the fused layer is device-only here
+        use_fused = (fused_layer_eligible(cfg, causal=True)
                      and jax.default_backend() != "cpu")
         if use_fused:
             from ..ops.fused_layer import (fused_nar_decoder_layer,

@@ -61,7 +61,8 @@ def _predict_fn(model, variables, ctx: NARContext,
     never materializes the (N, V) logits in HBM — the dominant memory traffic
     of the refinement loop.
     """
-    use_pallas = (cfg is not None and cfg.use_pallas and not cfg.tie_weights)
+    from ..ops.eligibility import fused_layer_eligible, fused_vocab_eligible
+    use_pallas = cfg is not None and fused_vocab_eligible(cfg)
 
     if use_pallas:
         from ..ops.vocab_fused import fused_project_argmax
@@ -70,10 +71,7 @@ def _predict_fn(model, variables, ctx: NARContext,
 
         # the fully-fused decoder layer covers the decode hot-loop config:
         # 1 layer, no pos-attention, no attention LayerNorm (all defaults)
-        fully_fused = (cfg.num_hidden_layers_decoder == 1
-                       and not cfg.pos_attention and not cfg.with_layernorm
-                       and cfg.enhance_input in (0, 2)
-                       and cfg.hidden_act == "gelu_new")
+        fully_fused = fused_layer_eligible(cfg, causal=False)
         if fully_fused:
             from ..ops.fused_layer import (fused_nar_decoder_layer,
                                            layer_weights_from_params)
@@ -135,12 +133,11 @@ def _predict_fn(model, variables, ctx: NARContext,
 def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                       cfg: Optional[Config] = None):
     """AR teacher per-token probabilities (algorithms.py:175-204)."""
+    from ..ops.eligibility import fused_layer_eligible, fused_vocab_eligible
     tcfg = teacher_model.cfg
     use_fused = (cfg is not None and cfg.use_pallas
-                 and tcfg.num_hidden_layers_decoder == 1
-                 and not tcfg.pos_attention and not tcfg.with_layernorm
-                 and not tcfg.tie_weights and tcfg.watch == 0
-                 and tcfg.hidden_act == "gelu_new")
+                 and fused_layer_eligible(tcfg.replace(use_pallas=True), causal=True)
+                 and fused_vocab_eligible(tcfg.replace(use_pallas=True)))
 
     if use_fused:
         from ..ops.fused_layer import (fused_nar_decoder_layer,

@@ -8,3 +8,4 @@ from .masking import (  # noqa: F401
     resample_enc_output,
 )
 from .select import rank_mask_smallest, rank_mask_largest  # noqa: F401
+from .eligibility import fused_layer_eligible, fused_vocab_eligible  # noqa: F401

@@ -1,0 +1,44 @@
+"""Single source of truth for Pallas fused-path eligibility.
+
+The fully-fused single-layer decoder kernel (navc_tpu.ops.fused_layer) and the
+fused vocab-projection kernels (navc_tpu.ops.vocab_fused) only cover the
+reference's default decode configuration (1 decoder layer, no pos-attention,
+no attention LayerNorm, gelu_new — reference opts.py:24,33-36 defaults).
+Callers in decoding/mask_predict.py and decoding/beam.py must all use these
+predicates so the guards cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from ..config import Config
+
+
+def fused_layer_eligible(cfg: Config, causal: bool) -> bool:
+    """Can the fully-fused decoder-layer kernel replace ``BertDecoder``?
+
+    Args:
+        cfg: the *model being fused* (student or teacher) config.
+        causal: True for AR forwards (beam search, teacher rescoring) — the
+            kernel only implements the plain causal mask, so the reference's
+            ``watch`` window (Decoder.py:23-39) must be off; False for NAR
+            forwards, where the kernel implements enhance_input 0/2 but not
+            the per-row resampling gather (enhance_input == 1, Decoder.py:41-54).
+    """
+    ok = (cfg.use_pallas
+          and cfg.num_hidden_layers_decoder == 1
+          and not cfg.pos_attention
+          and not cfg.with_layernorm
+          and cfg.hidden_act == "gelu_new")
+    if causal:
+        return ok and cfg.watch == 0
+    return ok and cfg.enhance_input in (0, 2)
+
+
+def fused_vocab_eligible(cfg: Config) -> bool:
+    """Can the fused projection(+argmax/gather) kernels be used?
+
+    Requires an untied projection matrix: the tied path projects through the
+    (transposed) embedding table with a bias (seq2seq.py:124-125 here), which
+    the kernels do not implement.
+    """
+    return cfg.use_pallas and not cfg.tie_weights
