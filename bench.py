@@ -8,14 +8,23 @@ cost: 5 mask-predict iterations x length-beam 6, +1 coarse-template pass,
 +1 AR-teacher rescoring forward (BASELINE.md decode-cost table).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N,
+     "tflops": N, "mfu": N, ...}
 
-vs_baseline compares against the measured reference implementation throughput
-recorded in BASELINE_MEASURED.json (produced by
-scripts/measure_reference_baseline.py on this machine's torch backend — CPU
-here, since the environment has no CUDA; the file documents its hardware).
+A live run writes its result (timestamped) to BENCH_LIVE.json. If the
+accelerator is unreachable, the harness falls back to BENCH_LIVE.json ONLY if
+it is younger than NAVC_BENCH_MAX_AGE_H (default 12h — one build round);
+otherwise it reports value=null so a dead tunnel can never masquerade as a
+perf number.
+
+Flags:
+    --profile   capture a jax.profiler trace of the timed region into
+                profiles/ (one-shot; inspect with tensorboard or xprof)
+    --batch N   override batch size (default 512)
 """
 
+import argparse
+import datetime
 import json
 import os
 import sys
@@ -23,19 +32,28 @@ import time
 
 import numpy as np
 
-LAST_MEASURED = {
-    # measured 2026-08-16 on v5e-1; overwritten in spirit by any live run
-    # (__main__ only falls back to this when the accelerator is unreachable)
-    "value": 3392.66,
-    "unit": "captions/sec/chip",
+HERE = os.path.dirname(os.path.abspath(__file__))
+LIVE_PATH = os.path.join(HERE, "BENCH_LIVE.json")
+MAX_AGE_H = float(os.environ.get("NAVC_BENCH_MAX_AGE_H", "12"))
+
+# bf16 peak matmul throughput per chip, by device_kind substring
+PEAK_TFLOPS = {
+    "v4": 275.0,
+    "v5 lite": 197.0,  # v5e: 394 int8 / 197 bf16
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6 lite": 918.0,
+    "v6e": 918.0,
 }
 
 
-def _device_available(timeout_s: float = 180.0) -> bool:
+def _device_available(timeout_s: float = None) -> bool:
     """Probe the accelerator in a daemon thread — a dead tunnel hangs
     jax.devices() forever, which must not hang the benchmark harness."""
     import threading
 
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("NAVC_DEVICE_PROBE_TIMEOUT", "180"))
     ok = []
 
     def probe():
@@ -52,19 +70,48 @@ def _device_available(timeout_s: float = 180.0) -> bool:
     return bool(ok)
 
 
-def build_flagship():
+def decode_flops_per_caption(cfg, n_enc_positions: int) -> float:
+    """Matmul FLOPs of one NACF caption at the benchmark decode settings.
+
+    Counts the timed region only (decode; encode is outside, like the
+    reference latency protocol): per length-beam row, (iterations + use_ct)
+    student NAR forwards + 1 AR teacher rescoring forward
+    (reference algorithms.py:242, 271-272), each = 1 BertLayer + vocab
+    projection over max_len positions.
+    """
+    d = cfg.dim_hidden
+    L = cfg.max_len
+    V = cfg.vocab_size
+    ffn = cfg.intermediate_size
+    Te = n_enc_positions
+
+    qkv_self = 3 * 2 * L * d * d
+    attn_self = 2 * 2 * L * L * d          # scores + apply
+    out_proj = 2 * L * d * d
+    q_cross = 2 * L * d * d
+    kv_cross = 2 * 2 * Te * d * d
+    attn_cross = 2 * 2 * L * Te * d
+    cross_out = 2 * L * d * d
+    ffn_flops = 2 * 2 * L * d * ffn
+    vocab = 2 * L * d * V
+    per_fwd = (qkv_self + attn_self + out_proj + q_cross + kv_cross +
+               attn_cross + cross_out + ffn_flops + vocab)
+
+    fwds_per_row = cfg.iterations + (1 if cfg.use_ct else 0) + 1  # +teacher
+    return per_fwd * fwds_per_row * cfg.length_beam_size
+
+
+def build_flagship(batch_size: int):
     import jax
 
     from navc_tpu.runtime.compile_cache import enable_compilation_cache
     enable_compilation_cache()
-    import jax.numpy as jnp
 
-    from navc_tpu import constants as C
     from navc_tpu.config import default_config
     from navc_tpu.decoding import make_nar_generator
     from navc_tpu.models import build_model, init_params
 
-    over = dict(vocab_size=10048, batch_size=512, use_pallas=True)
+    over = dict(vocab_size=10048, batch_size=batch_size, use_pallas=True)
     cfg = default_config("NACF", dataset="MSRVTT", **over)
     model = build_model(cfg)
     variables = init_params(model, jax.random.PRNGKey(0), cfg)
@@ -77,11 +124,25 @@ def build_flagship():
     return cfg, model, variables, teacher, tvars, gen
 
 
-def main():
+def metric_name(batch_size: int, suffix: str = "") -> str:
+    return ("NACF MSR-VTT-scale decode throughput "
+            "(d=512,vocab=10048,T=5,lbs=6,CT,teacher-rescore,B=%d,pallas)%s"
+            % (batch_size, suffix))
+
+
+def read_baseline():
+    p = os.path.join(HERE, "BASELINE_MEASURED.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f).get("captions_per_sec")
+    return None
+
+
+def main(batch_size: int = 512, profile: bool = False):
     import jax
     import jax.numpy as jnp
 
-    cfg, model, variables, teacher, tvars, gen = build_flagship()
+    cfg, model, variables, teacher, tvars, gen = build_flagship(batch_size)
     b = cfg.batch_size
     rng = np.random.RandomState(0)
     feats = [jnp.asarray(rng.randn(b, cfg.n_frames, d).astype(np.float32))
@@ -101,49 +162,91 @@ def main():
     for _ in range(3):
         np.asarray(gen(variables, enc, category, tvars, tenc, None))
 
+    trace_dir = None
+    if profile:
+        trace_dir = os.path.join(HERE, "profiles",
+                                 datetime.datetime.now().strftime("%Y%m%d_%H%M%S"))
+        os.makedirs(trace_dir, exist_ok=True)
+        jax.profiler.start_trace(trace_dir)
+
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = np.asarray(gen(variables, enc, category, tvars, tenc, None))
     dt = time.perf_counter() - t0
+    if profile:
+        jax.profiler.stop_trace()
     captions_per_sec = b * n_iters / dt
 
-    baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f).get("captions_per_sec")
+    # FLOP accounting / MFU -------------------------------------------------
+    n_enc = int(enc["enc_output"].shape[1])
+    flops_caption = decode_flops_per_caption(cfg, n_enc)
+    tflops = captions_per_sec * flops_caption / 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    peak = float(os.environ.get("NAVC_TPU_PEAK_TFLOPS", 0)) or next(
+        (v for k, v in PEAK_TFLOPS.items() if k in kind), None)
+    mfu = round(tflops / peak, 4) if peak else None
 
+    baseline = read_baseline()
     result = {
-        "metric": "NACF MSR-VTT-scale decode throughput "
-                  "(d=512,vocab=10048,T=5,lbs=6,CT,teacher-rescore,B=512,pallas)",
+        "metric": metric_name(b),
         "value": round(captions_per_sec, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(captions_per_sec / baseline, 2) if baseline else None,
+        "tflops": round(tflops, 2),
+        "mfu": mfu,
+        "gflop_per_caption": round(flops_caption / 1e9, 2),
+        "device_kind": jax.devices()[0].device_kind,
+        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
     }
+    if trace_dir:
+        result["trace_dir"] = trace_dir
+    with open(LIVE_PATH, "w") as f:
+        json.dump(result, f, indent=2)
     print(json.dumps(result))
     return result
 
 
+def report_fallback():
+    """Accelerator unreachable: report the last LIVE value only if fresh."""
+    baseline = read_baseline()
+    out = {
+        "metric": metric_name(512, " [STALE: accelerator unreachable at bench time]"),
+        "value": None,
+        "unit": "captions/sec/chip",
+        "vs_baseline": None,
+        "error": "accelerator unreachable and no fresh BENCH_LIVE.json",
+    }
+    if os.path.exists(LIVE_PATH):
+        with open(LIVE_PATH) as f:
+            live = json.load(f)
+        try:
+            ts = datetime.datetime.fromisoformat(live["timestamp"])
+            age_h = (datetime.datetime.now(datetime.timezone.utc) - ts
+                     ).total_seconds() / 3600.0
+        except Exception:
+            age_h = float("inf")
+        if age_h <= MAX_AGE_H:
+            out = dict(live)
+            out["metric"] = (live.get("metric", metric_name(512)) +
+                             " [STALE: accelerator unreachable; live value "
+                             "%.1fh old]" % age_h)
+            out["vs_baseline"] = (round(live["value"] / baseline, 2)
+                                  if baseline and live.get("value") else None)
+        else:
+            out["error"] = ("accelerator unreachable; BENCH_LIVE.json is "
+                            "%.1fh old (max %.0fh) — refusing to report it"
+                            % (age_h, MAX_AGE_H))
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--batch", type=int, default=512)
+    args = ap.parse_args()
     if _device_available():
-        main()
+        main(batch_size=args.batch, profile=args.profile)
     else:
-        import json as _json
-        baseline = None
-        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BASELINE_MEASURED.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                baseline = _json.load(f).get("captions_per_sec")
-        v = LAST_MEASURED["value"]
-        print(_json.dumps({
-            "metric": "NACF MSR-VTT-scale decode throughput "
-                      "(d=512,vocab=10048,T=5,lbs=6,CT,teacher-rescore,B=512,"
-                      "pallas) [STALE: accelerator unreachable at bench time; "
-                      "value measured earlier this round]",
-            "value": v,
-            "unit": LAST_MEASURED["unit"],
-            "vs_baseline": round(v / baseline, 2) if baseline else None,
-        }))
+        report_fallback()
