@@ -50,7 +50,8 @@ class NARContext(NamedTuple):
 
 
 def _predict_fn(model, variables, ctx: NARContext,
-                cfg: Optional[Config] = None) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+                cfg: Optional[Config] = None,
+                want_attentions: bool = False) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """One NAR decoder forward -> (argmax ids, max probs).
 
     Reference generate_step_with_prob + generate_non_autoregressive
@@ -60,9 +61,27 @@ def _predict_fn(model, variables, ctx: NARContext,
     the fused online-softmax Pallas kernel (navc_tpu.ops.vocab_fused), which
     never materializes the (N, V) logits in HBM — the dominant memory traffic
     of the refinement loop.
+
+    ``want_attentions=True`` (the reference's attention-collection mode,
+    na_generate.py:92-106) returns a third output ``(self_probs, cross_probs)``
+    of layer-0 attention maps, each (N, n_head, L, L_k); it forces the plain
+    XLA path since the fused kernels never materialize attention probabilities.
     """
     from ..ops.eligibility import fused_layer_eligible, fused_vocab_eligible
-    use_pallas = cfg is not None and fused_vocab_eligible(cfg)
+    use_pallas = (cfg is not None and fused_vocab_eligible(cfg)
+                  and not want_attentions)
+
+    if want_attentions:
+        def predict(tokens: jnp.ndarray):
+            logprobs, _, attns = model.apply(
+                variables, tokens, ctx.enc_output, ctx.category, "NARFormer",
+                True, True, method=lambda m, *a: m.decode_logprobs(*a))
+            probs = jnp.exp(logprobs)
+            ids = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            max_probs = jnp.max(probs, axis=-1)
+            layer0 = attns[0]
+            return ids, max_probs, (layer0[0], layer0[-1])
+        return predict
 
     if use_pallas:
         from ..ops.vocab_fused import fused_project_argmax
@@ -210,23 +229,32 @@ def _apply_pad(ids, probs, pad_mask):
 
 
 def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config,
-                  collect: bool = False):
+                  collect: bool = False, collect_attentions: bool = False):
     """collect=True additionally returns the per-iteration (tokens, probs)
     stacks — the reference's collect_best_candidate_iterative_results
-    (algorithms.py:55-75)."""
+    (algorithms.py:55-75). collect_attentions=True also stacks the layer-0
+    (self, cross) attention maps per iteration (reference collect_data,
+    algorithms.py:55-72 + na_generate.py:92-106); requires a ``predict``
+    built with ``want_attentions=True``."""
     use_ct = cfg.use_ct
     T = cfg.iterations + 1 if use_ct else cfg.iterations
     seq_lens = lengths.astype(jnp.float32)
 
+    def call(toks):
+        out = predict(toks)
+        if collect_attentions:
+            return out
+        return out[0], out[1], None
+
     if use_ct:
         # coarse-grained templates (algorithms.py:136-141)
         vis_tokens = jnp.where(tokens == C.MASK, C.VIS, tokens)
-        ids, probs = predict(vis_tokens)
+        ids, probs, attns = call(vis_tokens)
         ids, probs = _apply_pad(ids, probs, pad_mask)
         probs = jnp.where(ids == C.MASK, 0.0, probs)
         tokens, token_probs = ids, probs
     else:
-        ids, probs = predict(tokens)
+        ids, probs, attns = call(tokens)
         tokens, token_probs = _apply_pad(ids, probs, pad_mask)
 
     def body(carry, xs):
@@ -247,11 +275,15 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
             mask_ind = worst
 
         masked = jnp.where(mask_ind, C.MASK, tokens)
-        new_ids, new_probs = predict(masked)
+        new_ids, new_probs, new_attns = call(masked)
         new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
         tokens = jnp.where(mask_ind, new_ids, masked)
         token_probs = jnp.where(mask_ind, new_probs, token_probs)
-        ys = (tokens, token_probs) if collect else None
+        ys = None
+        if collect:
+            ys = (tokens, token_probs)
+            if collect_attentions:
+                ys = ys + new_attns
         return (tokens, token_probs), ys
 
     collected = None
@@ -264,16 +296,18 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         ratios = jnp.asarray(
             [1.0 - c / T for c in range(1, T)], jnp.float32)
         init = (tokens, token_probs)
+        init_ys = (tokens, token_probs) + (attns if collect_attentions else ())
         (tokens, token_probs), ys = jax.lax.scan(
             body, init, (counters, ratios))
         if collect:
-            # prepend the iteration-0 state: (T, N, L) stacks
-            collected = (
-                jnp.concatenate([init[0][None], ys[0]], axis=0),
-                jnp.concatenate([init[1][None], ys[1]], axis=0),
-            )
+            # prepend the iteration-0 state: (T, N, ...) stacks
+            collected = tuple(
+                jnp.concatenate([i0[None], y], axis=0)
+                for i0, y in zip(init_ys, ys))
     elif collect:
         collected = (tokens[None], token_probs[None])
+        if collect_attentions:
+            collected = collected + tuple(a[None] for a in attns)
 
     if teacher_score is not None and not cfg.no_candidate_decision:
         corresponding = teacher_score(tokens, pad_mask)
@@ -406,7 +440,8 @@ ALGORITHMS = {"mp": _mask_predict, "l2r": _left2right, "ef": _easy_first}
 
 
 def make_nar_generator(cfg: Config, model, teacher_model=None,
-                       jit: bool = True, collect: bool = False):
+                       jit: bool = True, collect: bool = False,
+                       collect_attentions: bool = False):
     """Build the full NAR decode function (reference na_generate.py:14-113).
 
     Returns fn(variables, enc_results, category,
@@ -415,11 +450,16 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
     ``collect=True`` (mask-predict only) -> (hypotheses,
     (iter_tokens (B, T, max_len), iter_probs (B, T, max_len))) for the best
     length beam — the reference's candidate-collection mode
-    (na_generate.py:80-90).
+    (na_generate.py:80-90). ``collect_attentions=True`` (implies collect)
+    appends per-iteration layer-0 attention maps
+    (self_attn, cross_attn), each (B, T, n_head, max_len, len_k) at the best
+    length beam — the reference's output_attentions mode
+    (na_generate.py:92-106).
     ``enc_results`` must carry 'enc_output' and 'pred_length'.
     """
     if cfg.paradigm not in ALGORITHMS:
         raise ValueError("paradigm must be one of %s" % list(ALGORITHMS))
+    collect = collect or collect_attentions
     if collect and cfg.paradigm != "mp":
         raise NotImplementedError("iterative collection is mask-predict only")
     algorithm = ALGORITHMS[cfg.paradigm]
@@ -446,14 +486,16 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
             teacher_category=None if category is None else enlarge(category, lbs),
             dict_mapping=dict_mapping,
         )
-        predict = _predict_fn(model, variables, ctx, cfg)
+        predict = _predict_fn(model, variables, ctx, cfg,
+                              want_attentions=collect_attentions)
         teacher_score = None
         if use_teacher and teacher_variables is not None and ctx.teacher_enc_output is not None:
             teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx, cfg)
 
         if collect:
-            hyp, lprobs, (iter_toks, iter_probs) = algorithm(
-                predict, teacher_score, tokens, pad_mask, lengths, cfg, collect=True)
+            hyp, lprobs, collected = algorithm(
+                predict, teacher_score, tokens, pad_mask, lengths, cfg,
+                collect=True, collect_attentions=collect_attentions)
         else:
             hyp, lprobs = algorithm(predict, teacher_score, tokens, pad_mask,
                                     lengths, cfg)
@@ -461,17 +503,26 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
         if not collect:
             return best
 
-        # gather each iteration's canvas at the winning length beam
+        # gather each iteration's stacks at the winning length beam
+        # (reference na_generate.py:80-106)
         max_len = hyp.shape[-1]
         lens = lengths.reshape(bsz, lbs).astype(jnp.float32)
         avg = lprobs.reshape(bsz, lbs, max_len).sum(-1) / jnp.power(lens, cfg.beam_alpha)
         best_idx = jnp.argmax(avg, axis=-1)  # (B,)
-        t = iter_toks.shape[0]
-        toks = iter_toks.reshape(t, bsz, lbs, max_len).transpose(1, 0, 2, 3)
-        probs = iter_probs.reshape(t, bsz, lbs, max_len).transpose(1, 0, 2, 3)
-        sel = best_idx[:, None, None, None]
-        toks = jnp.take_along_axis(toks, sel, axis=2)[:, :, 0, :]
-        probs = jnp.take_along_axis(probs, sel, axis=2)[:, :, 0, :]
+
+        def gather_best(arr):
+            # (T, B*lbs, *rest) -> (B, T, *rest) at the best length beam
+            t = arr.shape[0]
+            rest = arr.shape[2:]
+            a = arr.reshape((t, bsz, lbs) + rest)
+            a = jnp.moveaxis(a, 1, 0)  # (B, T, lbs, *rest)
+            sel = best_idx.reshape((bsz,) + (1,) * (a.ndim - 1))
+            return jnp.take_along_axis(a, sel, axis=2)[:, :, 0]
+
+        toks, probs = gather_best(collected[0]), gather_best(collected[1])
+        if collect_attentions:
+            attns = [gather_best(a) for a in collected[2:]]
+            return best, (toks, probs), attns
         return best, (toks, probs)
 
     return jax.jit(generate) if jit else generate

@@ -47,6 +47,7 @@ class BertDecoder(nn.Module):
     enhance_input: int = 2
     watch: int = 0
     decoding_type: str = "ARFormer"
+    use_sigmoid_to_get_attprob: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -73,6 +74,7 @@ class BertDecoder(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 is_decoder_layer=True,
                 pos_attention=self.pos_attention,
+                use_sigmoid_to_get_attprob=self.use_sigmoid_to_get_attprob,
                 dtype=self.dtype,
                 name="layer_%d" % i,
             )

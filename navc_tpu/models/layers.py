@@ -155,12 +155,15 @@ def fold_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     return x.reshape(b, l, n_head, h // n_head)
 
 
-def attention_core(q, k, v, mask, *, dropout_fn=None, dtype=jnp.float32):
+def attention_core(q, k, v, mask, *, dropout_fn=None, dtype=jnp.float32,
+                   use_sigmoid=False):
     """Scaled-dot attention with the reference's additive -10e6 masking.
 
     q,k,v: (B, L, n_head, d); mask: (B, Lq, Lk) bool, True = masked out
     (reference models/bert.py:154-174). Returns (out (B, Lq, n_head, d),
-    probs (B, n_head, Lq, Lk)).
+    probs (B, n_head, Lq, Lk)). ``use_sigmoid`` swaps the softmax for
+    sum-normalized sigmoids (reference bert.py:163-165,
+    use_sigmoid_to_get_attprob).
     """
     d_k = q.shape[-1]
     scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(dtype), k.astype(dtype),
@@ -168,7 +171,11 @@ def attention_core(q, k, v, mask, *, dropout_fn=None, dtype=jnp.float32):
     scores = scores / math.sqrt(d_k)
     if mask is not None:
         scores = jnp.where(mask[:, None, :, :], jnp.asarray(MASK_FILL, scores.dtype), scores)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if use_sigmoid:
+        probs = jax.nn.sigmoid(scores.astype(jnp.float32))
+        probs = probs / (probs.sum(-1, keepdims=True) + 1e-12)
+    else:
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if dropout_fn is not None:
         probs = dropout_fn(probs)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v.astype(dtype),
@@ -182,6 +189,7 @@ class BertSelfAttention(nn.Module):
     dim_hidden: int
     num_attention_heads: int
     attention_probs_dropout_prob: float = 0.0
+    use_sigmoid_to_get_attprob: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -202,7 +210,9 @@ class BertSelfAttention(nn.Module):
         drop = None
         if self.attention_probs_dropout_prob > 0.0:
             drop = lambda p: self.dropout(p, deterministic=deterministic)
-        out, probs = attention_core(q, k, v, attention_mask, dropout_fn=drop, dtype=self.dtype)
+        out, probs = attention_core(q, k, v, attention_mask, dropout_fn=drop,
+                                    dtype=self.dtype,
+                                    use_sigmoid=self.use_sigmoid_to_get_attprob)
         b, lq = out.shape[0], out.shape[1]
         out = out.reshape(b, lq, self.dim_hidden)
         if output_attentions:
@@ -241,12 +251,14 @@ class BertAttention(nn.Module):
     with_layernorm: bool = False
     layer_norm_eps: float = 1e-5
     with_residual: bool = True
+    use_sigmoid_to_get_attprob: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.self = BertSelfAttention(
             self.dim_hidden, self.num_attention_heads,
-            self.attention_probs_dropout_prob, dtype=self.dtype, name="self")
+            self.attention_probs_dropout_prob,
+            self.use_sigmoid_to_get_attprob, dtype=self.dtype, name="self")
         self.output = BertSelfOutput(
             self.dim_hidden, self.hidden_dropout_prob,
             self.with_layernorm, self.layer_norm_eps, dtype=self.dtype,
@@ -311,6 +323,7 @@ class BertLayer(nn.Module):
     layer_norm_eps: float = 1e-5
     is_decoder_layer: bool = True
     pos_attention: bool = False
+    use_sigmoid_to_get_attprob: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -321,6 +334,7 @@ class BertLayer(nn.Module):
             hidden_dropout_prob=self.hidden_dropout_prob,
             with_layernorm=self.with_layernorm,
             layer_norm_eps=self.layer_norm_eps,
+            use_sigmoid_to_get_attprob=self.use_sigmoid_to_get_attprob,
             dtype=self.dtype,
         )
         self.attention = BertAttention(with_residual=True, name="attention", **kw)

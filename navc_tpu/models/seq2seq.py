@@ -79,6 +79,7 @@ class Seq2Seq(nn.Module):
             enhance_input=cfg.enhance_input,
             watch=cfg.watch,
             decoding_type=cfg.decoding_type,
+            use_sigmoid_to_get_attprob=cfg.use_sigmoid_to_get_attprob,
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
             name="decoder",
         )

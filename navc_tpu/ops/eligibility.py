@@ -28,6 +28,7 @@ def fused_layer_eligible(cfg: Config, causal: bool) -> bool:
           and cfg.num_hidden_layers_decoder == 1
           and not cfg.pos_attention
           and not cfg.with_layernorm
+          and not cfg.use_sigmoid_to_get_attprob
           and cfg.hidden_act == "gelu_new")
     if causal:
         return ok and cfg.watch == 0

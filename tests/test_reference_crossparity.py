@@ -330,3 +330,87 @@ def test_l2r_ef_cross_parity(paradigm, use_ct):
     pair = build_pair(method, seed=7, paradigm=paradigm, use_ct=use_ct,
                       q=1, q_iterations=1)
     run_nar_both(pair[0], pair[1], pair[2], pair[3], pair[4], teacher=teacher)
+
+
+# ---------------------------------------------------------------------------
+# (d) hidden sigmoid-attention knob (reference bert.py:136,163-165)
+# ---------------------------------------------------------------------------
+
+
+def test_sigmoid_attention_forward_parity():
+    opt, tmodel, cfg, jmodel, variables = build_pair(
+        "NAB", seed=11, use_sigmoid_to_get_attprob=True)
+    cfg = cfg.replace(use_sigmoid_to_get_attprob=True)
+    jmodel = build_model(cfg)
+    b = 3
+    feats, category = make_inputs(opt, b=b, seed=12)
+    rng = np.random.RandomState(13)
+    tokens = rng.randint(6, opt["vocab_size"], size=(b, opt["max_len"]))
+    tokens[:, -2:] = C.PAD
+    with torch.no_grad():
+        tres = tmodel(feats=[torch.from_numpy(f) for f in feats],
+                      tgt_tokens=torch.from_numpy(tokens.astype(np.int64)),
+                      category=torch.from_numpy(category))
+    jres = jmodel.apply(variables, [jnp.asarray(f) for f in feats],
+                        jnp.asarray(tokens, jnp.int32),
+                        jnp.asarray(category, jnp.int32), deterministic=True)
+    np.testing.assert_allclose(np.asarray(jres["tgt_word_logprobs"][0]),
+                               tres["tgt_word_logprobs"][0].numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# (e) NAR attention-map collection (reference na_generate.py:92-106)
+# ---------------------------------------------------------------------------
+
+
+def test_attention_collection_cross_parity():
+    opt, tmodel, cfg, jmodel, variables = build_pair(
+        "NACF", seed=14,
+        collect_best_candidate_iterative_results=True, example="probe")
+    b = 3
+    # reference 'example' mode skips the [4, max_len-1] clamp
+    # (na_generate.py:125-132), so pick a feature seed whose top-lbs length
+    # indices all land inside the clamp range — then both stacks agree.
+    seed = None
+    for s in range(40):
+        feats, category = make_inputs(opt, b=b, seed=100 + s)
+        with torch.no_grad():
+            tenc = tmodel.encode([torch.from_numpy(f) for f in feats])
+            beam = tenc["pred_length"].topk(opt["length_beam_size"], dim=1)[1]
+        if int(beam.min()) >= 4 and int(beam.max()) <= opt["max_len"] - 1:
+            seed = 100 + s
+            break
+    assert seed is not None, "no feature seed with in-range length beams"
+
+    feats, category = make_inputs(opt, b=b, seed=seed)
+    tenc, jenc = encode_both(opt, tmodel, jmodel, variables, feats)
+    vocab = {i: "w%d" % i for i in range(opt["vocab_size"])}
+    with torch.no_grad():
+        ref_hyp, ref_collect, ref_attns = ref_generate(
+            opt=opt, model=tmodel, teacher_model=None,
+            encoder_outputs=tenc, teacher_encoder_outputs=None,
+            category=torch.from_numpy(category),
+            tgt_tokens=torch.zeros(b, opt["max_len"], dtype=torch.long),
+            tgt_vocab=vocab, dict_mapping={}, length_bias=0,
+            output_attentions=True)
+
+    gen = make_nar_generator(cfg, jmodel, None, collect_attentions=True)
+    best, (toks, probs), attns = gen(variables, jenc,
+                                     jnp.asarray(category, jnp.int32))
+    dyn = ref_hyp.shape[1]
+    np.testing.assert_array_equal(np.asarray(best)[:, :dyn], ref_hyp.numpy())
+
+    # candidate stacks (B, T, L)
+    ref_toks, ref_scores = ref_collect
+    np.testing.assert_array_equal(np.asarray(toks)[:, :, :dyn],
+                                  ref_toks.numpy())
+    np.testing.assert_allclose(np.asarray(probs)[:, :, :dyn],
+                               ref_scores.numpy(), atol=1e-4)
+
+    # attention stacks: [self, cross], (B, T, n_head, L, Lk)
+    assert len(ref_attns) == 2 and len(attns) == 2
+    for mine, ref in zip(attns, ref_attns):
+        r = ref.numpy()
+        m = np.asarray(mine)[:, :, :, :dyn, :r.shape[-1]]
+        np.testing.assert_allclose(m, r, atol=1e-4, rtol=1e-3)
