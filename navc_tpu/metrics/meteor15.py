@@ -1,0 +1,326 @@
+"""METEOR 1.5 scorer (exact / stem / synonym / paraphrase stages, optimal
+min-chunk alignment, content-function weighting).
+
+The reference scores METEOR through the meteor-1.5.jar subprocess
+(coco-caption/pycocoevalcap/meteor/meteor.py:18-26) whose jar (and its
+bundled synonym db / function-word list / paraphrase table) is absent from
+the checkout (.MISSING_LARGE_BLOBS:3). This module natively implements the
+METEOR 1.5 scoring model (Denkowski & Lavie, "Meteor Universal", WACL 2014)
+with the English rank-task parameters:
+
+    alpha=0.85  beta=0.2  gamma=0.6  delta=0.75
+    stage weights: exact=1.0, stem=0.6, synonym=0.8, paraphrase=0.6
+
+Scoring per segment (best reference wins, per the Meteor multi-ref rule):
+
+    P = sum_i w_i (delta * m_i_c(h) + (1-delta) * m_i_f(h))
+        / (delta * |h_c| + (1-delta) * |h_f|)
+    R = same over the reference side
+    Fmean = P * R / (alpha * P + (1-alpha) * R)
+    frag  = chunks / matches        (matches = word-level match count)
+    score = Fmean * (1 - gamma * frag**beta)
+
+with the Meteor identity rule: a single chunk that covers BOTH strings
+entirely counts as zero chunks, so an exact match scores 1.0.
+
+Corpus-level score is computed from micro-aggregated statistics (the Meteor
+"EVAL" aggregation), not a macro mean of segment scores.
+
+Alignment: Meteor selects, among all one-to-one word alignments, one that
+(1) maximizes the number of matched words, (2) minimizes the number of
+chunks, (3) maximizes the total stage weight. The jar resolves this with a
+beam search; captions are short, so the beam here (width 64 over hypothesis
+positions) is effectively exhaustive and strictly better than a greedy
+matcher.
+
+Data files the jar bundles are pluggable here:
+  * synonyms: ``load_wordnet_synonyms()`` builds the table from nltk WordNet
+    when the corpus is installed; ``load_synonyms_tsv(path)`` loads
+    ``word<TAB>syn1 syn2 ...`` files; default = no synonym stage.
+  * function words: a vendored standard English function-word list
+    (the jar derives its list from corpus frequency; documented equivalent).
+  * paraphrases: word-level equivalence pairs via
+    ``load_paraphrases_tsv(path)``; the jar's phrase-level table requires its
+    data file and is out of scope (weights preserved so a loaded table slots
+    in at the right priority).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+ALPHA = 0.85
+BETA = 0.2
+GAMMA = 0.6
+DELTA = 0.75
+STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)  # exact, stem, synonym, paraphrase
+BEAM = 64
+
+# Standard English function words (articles, pronouns, prepositions,
+# conjunctions, auxiliaries, common particles). The meteor-1.5 jar ships a
+# corpus-frequency-derived list; this vendored equivalent covers the same
+# closed-class words.
+FUNCTION_WORDS: Set[str] = set("""
+a an the this that these those some any each every no neither either
+i you he she it we they me him her us them my your his its our their mine
+yours hers ours theirs myself yourself himself herself itself ourselves
+yourselves themselves who whom whose which what
+in on at by for with about against between into through during before after
+above below to from up down out off over under again further of near
+and or but nor so yet as because although though while if unless until when
+whenever where wherever why how than whether
+be am is are was were been being have has had having do does did doing
+will would shall should may might must can could ought
+not only also very too quite such own same just ever never here there then
+now once
+""".split())
+
+
+def _porter(w: str) -> str:
+    from .meteor import _stem
+    return _stem(w)
+
+
+# ---------------------------------------------------------------------------
+# pluggable data tables
+# ---------------------------------------------------------------------------
+
+
+def load_wordnet_synonyms() -> Optional[Dict[str, Set[str]]]:
+    """Build word -> synset-name set from nltk WordNet, if installed."""
+    try:
+        from nltk.corpus import wordnet as wn
+        wn.synsets("test")  # force the lazy corpus load
+    except Exception:
+        return None
+
+    def lookup(word: str) -> Set[str]:
+        return {s.name() for s in wn.synsets(word)}
+
+    return _LazySynTable(lookup)
+
+
+class _LazySynTable(dict):
+    """dict-like synonym table backed by a lookup function, memoized."""
+
+    def __init__(self, lookup):
+        super().__init__()
+        self._lookup = lookup
+
+    def __missing__(self, key):
+        val = self._lookup(key)
+        self[key] = val
+        return val
+
+    def get(self, key, default=None):  # noqa: A003
+        return self[key]  # __missing__ memoizes; never falls back
+
+
+def load_synonyms_tsv(path: str) -> Dict[str, Set[str]]:
+    """``word<TAB>syn1 syn2 ...`` -> word -> concept-id set (shared ids)."""
+    table: Dict[str, Set[str]] = {}
+    with open(path) as f:
+        for n, line in enumerate(f):
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 2:
+                continue
+            word, syns = parts[0], parts[1].split()
+            cid = "c%d" % n
+            table.setdefault(word, set()).add(cid)
+            for s in syns:
+                table.setdefault(s, set()).add(cid)
+    return table
+
+
+def load_paraphrases_tsv(path: str) -> Set[Tuple[str, str]]:
+    """Word-level paraphrase pairs, one ``a<TAB>b`` per line (symmetric)."""
+    pairs: Set[Tuple[str, str]] = set()
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) == 2:
+                pairs.add((parts[0], parts[1]))
+                pairs.add((parts[1], parts[0]))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# aligner
+# ---------------------------------------------------------------------------
+
+
+class Meteor15:
+    def __init__(self,
+                 synonyms: Optional[Dict[str, Set[str]]] = None,
+                 paraphrases: Optional[Set[Tuple[str, str]]] = None,
+                 function_words: Optional[Set[str]] = None,
+                 alpha: float = ALPHA, beta: float = BETA,
+                 gamma: float = GAMMA, delta: float = DELTA,
+                 weights: Sequence[float] = STAGE_WEIGHTS,
+                 beam: int = BEAM):
+        self.synonyms = synonyms
+        self.paraphrases = paraphrases or set()
+        self.function_words = (FUNCTION_WORDS if function_words is None
+                               else function_words)
+        self.alpha, self.beta, self.gamma, self.delta = alpha, beta, gamma, delta
+        self.weights = tuple(weights)
+        self.beam = beam
+
+    # -- stages -------------------------------------------------------------
+    def _match_weight(self, h: str, hs: str, r: str, rs: str) -> Optional[float]:
+        """Best stage weight matching hyp word h (stem hs) to ref word r."""
+        if h == r:
+            return self.weights[0]
+        best = None
+        if hs == rs:
+            best = self.weights[1]
+        if self.synonyms is not None:
+            syn_h = self.synonyms.get(h) or set()
+            if r in syn_h or (syn_h and syn_h & (self.synonyms.get(r) or set())):
+                w = self.weights[2]
+                best = w if best is None or w > best else best
+        if self.paraphrases and (h, r) in self.paraphrases:
+            w = self.weights[3]
+            best = w if best is None or w > best else best
+        return best
+
+    # -- alignment ----------------------------------------------------------
+    def _align(self, hyp: List[str], ref: List[str]
+               ) -> Tuple[int, int, float, List[Tuple[int, int, float]]]:
+        """Beam search for (matches, chunks, weight, pairs).
+
+        Objective order: max matches, min chunks, max weight — the Meteor
+        aligner's resolution criteria.
+        """
+        hs = [_porter(w) for w in hyp]
+        rs = [_porter(w) for w in ref]
+        cand: List[List[Tuple[int, float]]] = []
+        for i, h in enumerate(hyp):
+            row = []
+            for j, r in enumerate(ref):
+                w = self._match_weight(h, hs[i], r, rs[j])
+                if w is not None:
+                    row.append((j, w))
+            cand.append(row)
+
+        # state: (used_ref frozenset, prev (hi, ri) or None,
+        #         matches, chunks, weight, pairs)
+        states = [(frozenset(), None, 0, 0, 0.0, ())]
+        for hi in range(len(hyp)):
+            nxt = {}
+            for used, prev, m, ch, wt, pairs in states:
+                key = (used, prev if prev and prev[0] == hi - 1 else None)
+                cur = nxt.get(key)
+                if cur is None or (m, -ch, wt) > (cur[2], -cur[3], cur[4]):
+                    nxt[key] = (used, prev, m, ch, wt, pairs)
+            states = list(nxt.values())
+
+            out = []
+            for used, prev, m, ch, wt, pairs in states:
+                out.append((used, prev, m, ch, wt, pairs))  # skip hi
+                for (rj, w) in cand[hi]:
+                    if rj in used:
+                        continue
+                    contiguous = (prev is not None and prev[0] == hi - 1
+                                  and prev[1] == rj - 1)
+                    out.append((used | {rj}, (hi, rj), m + 1,
+                                ch + (0 if contiguous else 1), wt + w,
+                                pairs + ((hi, rj, w),)))
+            out.sort(key=lambda s: (s[2], -s[3], s[4]), reverse=True)
+            states = out[:self.beam]
+
+        best = max(states, key=lambda s: (s[2], -s[3], s[4]))
+        return best[2], best[3], best[4], list(best[5])
+
+    # -- segment stats ------------------------------------------------------
+    def _segment_stats(self, hyp: List[str], ref: List[str]):
+        m, chunks, _, pairs = self._align(hyp, ref)
+        # Meteor identity rule: one chunk spanning both strings entirely
+        # counts as zero chunks (exact match scores 1.0)
+        if chunks == 1 and m == len(hyp) == len(ref):
+            chunks = 0
+
+        d = self.delta
+        fw = self.function_words
+
+        def side(words: List[str], widx: int):
+            wc = wf = 0.0
+            for pair in pairs:
+                i, w = pair[widx], pair[2]
+                if words[i] in fw:
+                    wf += w
+                else:
+                    wc += w
+            nc = sum(1 for w in words if w not in fw)
+            nf = len(words) - nc
+            num = d * wc + (1 - d) * wf
+            den = d * nc + (1 - d) * nf
+            return num, den
+
+        p_num, p_den = side(hyp, 0)
+        r_num, r_den = side(ref, 1)
+        return dict(m=m, chunks=chunks, p_num=p_num, p_den=p_den,
+                    r_num=r_num, r_den=r_den)
+
+    def _score_stats(self, s) -> float:
+        if s["m"] == 0 or s["p_den"] == 0 or s["r_den"] == 0:
+            return 0.0
+        p = s["p_num"] / s["p_den"]
+        r = s["r_num"] / s["r_den"]
+        if p == 0 or r == 0:
+            return 0.0
+        fmean = p * r / (self.alpha * p + (1 - self.alpha) * r)
+        frag = s["chunks"] / s["m"]
+        return fmean * (1.0 - self.gamma * frag ** self.beta)
+
+    # -- public API ----------------------------------------------------------
+    def sentence(self, hyp: str, refs: List[str]) -> float:
+        stats = self.best_ref_stats(hyp, refs)
+        return self._score_stats(stats) if stats else 0.0
+
+    def best_ref_stats(self, hyp: str, refs: List[str]):
+        h = hyp.split()
+        best, best_score = None, -1.0
+        for ref in refs:
+            r = ref.split()
+            if not h or not r:
+                continue
+            s = self._segment_stats(h, r)
+            sc = self._score_stats(s)
+            if sc > best_score:
+                best, best_score = s, sc
+        return best
+
+    def corpus(self, hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
+               ) -> Tuple[float, List[float]]:
+        """Micro-aggregated corpus score + per-image scores (Meteor EVAL)."""
+        agg = dict(m=0, chunks=0, p_num=0.0, p_den=0.0, r_num=0.0, r_den=0.0)
+        per = []
+        for vid in hyps:
+            s = self.best_ref_stats(hyps[vid][0], refs[vid])
+            if s is None:
+                per.append(0.0)
+                continue
+            per.append(self._score_stats(s))
+            for k in agg:
+                agg[k] += s[k]
+        return self._score_stats(agg), per
+
+
+_DEFAULT: Optional[Meteor15] = None
+
+
+def default_scorer() -> Meteor15:
+    """Singleton with WordNet synonyms when available (else exact+stem+fw)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        syn = None if os.environ.get("NAVC_METEOR_NO_WORDNET") else \
+            load_wordnet_synonyms()
+        _DEFAULT = Meteor15(synonyms=syn)
+    return _DEFAULT
+
+
+def corpus_meteor15(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
+                    ) -> Tuple[float, List[float]]:
+    return default_scorer().corpus(hyps, refs)

@@ -10,9 +10,12 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import os
+
 from .bleu import corpus_bleu
 from .cider import corpus_cider
 from .meteor import corpus_meteor
+from .meteor15 import corpus_meteor15
 from .rouge import corpus_rouge_l
 from .tokenizer import tokenize_corpus
 
@@ -48,12 +51,21 @@ class COCOScorer:
             _, bleu_per_img = corpus_bleu(res_tok, gts_tok)  # per-image detail
             cider, cider_per = native.cider_corpus(res_tok, gts_tok)
             rouge, rouge_per = native.rouge_corpus(res_tok, gts_tok)
-            meteor, meteor_per = native.meteor_corpus(res_tok, gts_tok)
         else:
             bleu_scores, bleu_per_img = corpus_bleu(res_tok, gts_tok)
             cider, cider_per = corpus_cider(res_tok, gts_tok)
             rouge, rouge_per = corpus_rouge_l(res_tok, gts_tok)
-            meteor, meteor_per = corpus_meteor(res_tok, gts_tok)
+
+        # METEOR: protocol-faithful METEOR 1.5 model (metrics/meteor15.py);
+        # NAVC_METEOR_LEGACY selects the fast 2-stage greedy equivalent
+        # (python or C++) used in round 1.
+        if os.environ.get("NAVC_METEOR_LEGACY"):
+            if native is not None:
+                meteor, meteor_per = native.meteor_corpus(res_tok, gts_tok)
+            else:
+                meteor, meteor_per = corpus_meteor(res_tok, gts_tok)
+        else:
+            meteor, meteor_per = corpus_meteor15(res_tok, gts_tok)
 
         for k, s in enumerate(bleu_scores):
             self._set("Bleu_%d" % (k + 1), s, ids, bleu_per_img[k])

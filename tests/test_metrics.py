@@ -101,3 +101,90 @@ def test_cocoscorer_end_to_end():
     assert abs(summary["CIDEr"] - GOLDEN_CIDER) < 1e-6
     assert abs(summary["ROUGE_L"] - GOLDEN_ROUGE) < 1e-6
     assert "v1" in detail and "CIDEr" in detail["v1"]
+
+
+# ---------------------------------------------------------------------------
+# METEOR 1.5 goldens (hand-computed from the published scoring model:
+# alpha=0.85, beta=0.2, gamma=0.6, delta=0.75, weights 1.0/0.6/0.8/0.6)
+# ---------------------------------------------------------------------------
+
+from navc_tpu.metrics.meteor15 import Meteor15
+
+
+def m15(**kw):
+    return Meteor15(synonyms=kw.pop("synonyms", None), **kw)
+
+
+def test_meteor15_identity_scores_one():
+    s = m15()
+    assert s.sentence("a man is playing a guitar",
+                      ["a man is playing a guitar"]) == 1.0
+
+
+def test_meteor15_golden_partial_match():
+    # hyp "the cat sat" vs ref "the cat jumped":
+    # matches the(fw) + cat(content) at weight 1.0, one chunk of 2, m=2
+    # P = R = (0.75*1 + 0.25*1) / (0.75*2 + 0.25*1) = 1/1.75
+    # Fmean = P; frag = 0.5; pen = 0.6 * 0.5**0.2
+    # score = (1/1.75) * (1 - 0.6 * 0.5**0.2) = 0.272954
+    s = m15()
+    assert abs(s.sentence("the cat sat", ["the cat jumped"]) - 0.272954) < 1e-4
+
+
+def test_meteor15_stem_stage_and_identity_rule():
+    # "dogs running" vs "dog runs": both stem-match (w=0.6), the single
+    # 2-word chunk spans both strings entirely -> zero chunks, no penalty
+    # P = R = 0.75*1.2 / 0.75*2 = 0.6; score = 0.6
+    s = m15()
+    assert abs(s.sentence("dogs running", ["dog runs"]) - 0.6) < 1e-6
+
+
+def test_meteor15_synonym_stage_golden():
+    syn = {"man": {"c1"}, "guy": {"c1"}, "buys": {"c2"}, "purchases": {"c2"}}
+    with_syn = m15(synonyms=syn)
+    without = m15()
+    hyp, ref = "a man buys food", ["a guy purchases food"]
+    # with synonyms: all 4 matched (1.0, 0.8, 0.8, 1.0), full-cover chunk
+    # P = R = (0.75*2.6 + 0.25*1) / (0.75*3 + 0.25*1) = 2.2/2.5 = 0.88
+    assert abs(with_syn.sentence(hyp, ref) - 0.88) < 1e-6
+    # without: only 'a' and 'food' match -> 2 chunks, frag=1
+    # P = R = 1/2.5 = 0.4; score = 0.4 * (1 - 0.6) = 0.16
+    assert abs(without.sentence(hyp, ref) - 0.16) < 1e-6
+
+
+def test_meteor15_min_chunk_alignment_golden():
+    # "on the mat sat the cat" vs "the cat sat on the mat": all 6 words
+    # match; the optimal alignment has exactly 3 chunks (on-the-mat /
+    # sat / the-cat), so P = R = 1, frag = 0.5,
+    # score = 1 - 0.6 * 0.5**0.2 = 0.477670. A greedy first-match aligner
+    # would produce more chunks and a lower score.
+    s = m15()
+    got = s.sentence("on the mat sat the cat", ["the cat sat on the mat"])
+    assert abs(got - 0.477670) < 1e-4
+
+
+def test_meteor15_corpus_micro_aggregation_golden():
+    # segment stats: ("the cat sat" vs "the cat jumped") m=2 ch=1 num=1.0
+    # den=1.75; ("dogs running" vs "dog runs") m=2 ch=0 num=0.9 den=1.5
+    # aggregate: P = R = 1.9/3.25; frag = 1/4
+    # score = (1.9/3.25) * (1 - 0.6 * 0.25**0.2) = 0.318786  (micro != macro)
+    s = m15()
+    hyps = {"v1": ["the cat sat"], "v2": ["dogs running"]}
+    refs = {"v1": ["the cat jumped"], "v2": ["dog runs"]}
+    corpus, per = s.corpus(hyps, refs)
+    assert abs(corpus - 0.318786) < 1e-4
+    assert abs(per[0] - 0.272954) < 1e-4 and abs(per[1] - 0.6) < 1e-6
+    macro = sum(per) / 2
+    assert abs(corpus - macro) > 0.05  # micro-aggregation is not the mean
+
+
+def test_meteor15_multi_reference_best_wins():
+    s = m15()
+    one = s.sentence("a dog runs", ["a dog runs"])
+    multi = s.sentence("a dog runs", ["cats sleeping", "a dog runs"])
+    assert one == multi == 1.0
+
+
+def test_meteor15_empty_hypothesis():
+    s = m15()
+    assert s.sentence("", ["a dog"]) == 0.0
