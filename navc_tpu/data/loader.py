@@ -49,24 +49,44 @@ class BatchLoader:
 
     train mode shuffles the item order each epoch with the dataset's seeded
     RNG (the reference relies on torch DataLoader shuffle, misc/run.py:95).
+
+    Multi-host: with ``num_shards``/``shard_id`` set, every host iterates a
+    disjoint strided slice of the SAME epoch permutation (the dataset RNG is
+    seeded identically on all hosts), padded by wrapping so every shard has
+    exactly the same number of batches — the SPMD train step stays in
+    lockstep across processes (torch DistributedSampler semantics; the
+    reference has no distributed loader at all, SURVEY.md §5).
     """
 
     def __init__(self, dataset: VideoDataset, batch_size: int,
-                 shuffle: bool = False, prefetch: int = 0):
+                 shuffle: bool = False, prefetch: int = 0,
+                 num_shards: int = 1, shard_id: int = 0):
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_id = shard_id
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return (n + self.batch_size - 1) // self.batch_size
+        per_shard = (n + self.num_shards - 1) // self.num_shards
+        return (per_shard + self.batch_size - 1) // self.batch_size
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
-            return self.dataset.random.permutation(n)
-        return np.arange(n)
+            order = self.dataset.random.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.num_shards > 1:
+            per_shard = (n + self.num_shards - 1) // self.num_shards
+            total = per_shard * self.num_shards
+            if total > n:  # wrap-pad so all shards are equal length
+                order = np.concatenate([order, order[: total - n]])
+            order = order[self.shard_id::self.num_shards]
+        return order
 
     def _iter_batches(self) -> Iterator[Dict[str, Any]]:
         order = self._order()
@@ -141,14 +161,24 @@ def device_prefetch(iterator, depth: int = 2):
 
 def get_loader(cfg, mode: str, info_corpus=None, feature_sources=None,
                in_memory_feats=None, batch_size: Optional[int] = None,
-               specific: int = -1, prefetch: Optional[int] = None) -> BatchLoader:
-    """Reference misc/run.py:89-96 ``get_loader``."""
+               specific: int = -1, prefetch: Optional[int] = None,
+               host_shard: bool = False) -> BatchLoader:
+    """Reference misc/run.py:89-96 ``get_loader``.
+
+    ``host_shard=True``: shard the epoch over ``jax.process_count()`` hosts
+    (multi-host training; batch_size here is the PER-HOST batch size).
+    """
     ds = VideoDataset(cfg, mode, info_corpus=info_corpus,
                       feature_sources=feature_sources,
                       in_memory_feats=in_memory_feats, specific=specific)
+    num_shards, shard_id = 1, 0
+    if host_shard:
+        import jax
+        num_shards, shard_id = jax.process_count(), jax.process_index()
     return BatchLoader(
         ds,
         batch_size=batch_size or cfg.batch_size,
         shuffle=(mode == "train"),
         prefetch=cfg.prefetch_depth if prefetch is None else prefetch,
+        num_shards=num_shards, shard_id=shard_id,
     )

@@ -53,6 +53,16 @@ def batch_pspec(leaf) -> P:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch onto the mesh's 'data' axis.
+
+    Single process: plain device_put with the data pspec. Multi-process
+    (jax.distributed cluster): each host holds only its local slice, so the
+    leaves are assembled into global arrays instead
+    (parallel.distributed.make_global_batch).
+    """
+    if jax.process_count() > 1:
+        from .distributed import make_global_batch
+        return make_global_batch(batch, mesh)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim"):
@@ -96,12 +106,25 @@ def _iter_paths(tree, prefix=""):
 
 
 def shard_params(variables: Dict, mesh: Mesh) -> Dict:
-    """device_put every param leaf with its TP spec (replicated otherwise)."""
+    """Place every param leaf with its TP spec (replicated otherwise).
+
+    Multi-process: every host holds the full (identical) param in host
+    memory, so each global array is assembled shard-by-shard via
+    make_array_from_callback — works for any TP spec regardless of how mesh
+    axes map onto processes.
+    """
+    multiproc = jax.process_count() > 1
     flat = dict(_iter_paths(variables))
     placed_flat = {}
     for path, leaf in flat.items():
         spec = param_pspec(path, leaf)
-        placed_flat[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc and hasattr(leaf, "shape"):
+            arr = np.asarray(leaf)
+            placed_flat[path] = jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx, a=arr: a[idx])
+        else:
+            placed_flat[path] = jax.device_put(leaf, sharding)
 
     def unflatten(flat):
         root: Dict[str, Any] = {}
