@@ -140,6 +140,7 @@ class Config:
     q_iterations: int = 1
     use_ct: bool = False
     length_bias: int = 0
+    duplicate: bool = False  # 4-gram dedup of NAR captions (run.py:163-164)
     masking_decision: bool = False
     no_candidate_decision: bool = False
     k_best_model: int = 1

@@ -124,7 +124,9 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
             for k in range(batch["num_valid"]):
                 vid = batch["video_ids"][k]
                 sent = to_sentence(hyp[k], vocab)
-                if cfg.decoding_type == "NARFormer":
+                # 4-gram dedup only when requested — the reference's flag is
+                # unset by default (run.py:163: opt.get('duplicate', False))
+                if cfg.duplicate and cfg.decoding_type == "NARFormer":
                     sent, _ = duplicate(sent)
                 if print_sent:
                     print("%s: %s" % (vid, sent))

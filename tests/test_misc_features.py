@@ -301,3 +301,18 @@ def test_training_is_deterministic_per_seed(corpus_and_feats):
                                     verbose=False)
             losses.append(out["history"][0]["train_loss"])
     assert losses[0] == losses[1], losses
+
+
+def test_nar_dedup_gated_by_duplicate_flag():
+    """run_eval must only 4-gram-dedup NAR captions when cfg.duplicate is set
+    (reference misc/run.py:163: opt.get('duplicate', False) — unset by
+    default). Forced dedup corrupts captions with legitimate repeats."""
+    import inspect
+
+    from navc_tpu.config import default_config
+    from navc_tpu.runtime import evaluate as ev
+
+    cfg = default_config("NAB", dataset="MSVD", vocab_size=40)
+    assert cfg.duplicate is False
+    src = inspect.getsource(ev.run_eval)
+    assert "cfg.duplicate and" in src
