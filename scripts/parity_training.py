@@ -162,20 +162,30 @@ def train_navc(cfg, corpus, refs, feats, workdir: str):
     return history
 
 
-def summarize(ref_hist, navc_hist):
+def summarize(ref_hists, navc_hists):
+    """Aggregate over seeds: per-stack mean/min/max of best and last-3-mean."""
     def tail_mean(hist, key, n=3):
         vals = [h[key] for h in hist[-n:]]
         return sum(vals) / len(vals)
 
+    def agg(hists, key):
+        bests = [max(h[key] for h in hist) for hist in hists]
+        tails = [tail_mean(hist, key) for hist in hists]
+        return {
+            "best_mean": round(sum(bests) / len(bests), 4),
+            "best_range": [round(min(bests), 4), round(max(bests), 4)],
+            "last3_mean": round(sum(tails) / len(tails), 4),
+            "last3_range": [round(min(tails), 4), round(max(tails), 4)],
+        }
+
     out = {}
     for key in ("CIDEr", "Bleu_4"):
-        r, n = tail_mean(ref_hist, key), tail_mean(navc_hist, key)
+        r, n = agg(ref_hists, key), agg(navc_hists, key)
         out[key] = {
-            "reference_last3_mean": round(r, 4),
-            "navc_last3_mean": round(n, 4),
-            "abs_diff": round(abs(r - n), 4),
-            "reference_best": round(max(h[key] for h in ref_hist), 4),
-            "navc_best": round(max(h[key] for h in navc_hist), 4),
+            "reference": r, "navc": n,
+            "best_mean_abs_diff": round(abs(r["best_mean"] - n["best_mean"]), 4),
+            "ranges_overlap": not (r["best_range"][1] < n["best_range"][0] or
+                                   n["best_range"][1] < r["best_range"][0]),
         }
     return out
 
@@ -184,6 +194,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--videos", type=int, default=48)
+    ap.add_argument("--seeds", nargs="+", type=int, default=[0])
     ap.add_argument("--method", default="ARB", choices=["ARB", "NAB"])
     ap.add_argument("--workdir", default="/tmp/parity_training")
     args = ap.parse_args()
@@ -192,27 +203,30 @@ def main():
 
     from navc_tpu.data.synthetic import make_learnable_synthetic
 
-    cfg = build_cfg(args.method, args.epochs, args.workdir)
-    corpus, refs, feats = make_learnable_synthetic(
-        cfg, n_videos=args.videos, n_classes=4)
-    paths = dump_reference_files(cfg, corpus, refs, feats,
-                                 os.path.join(args.workdir, "refdata"))
-
-    navc_hist = train_navc(cfg, corpus, refs, feats,
-                           os.path.join(args.workdir, "navc"))
-    ref_hist = train_reference(cfg, paths, args.epochs)
+    navc_hists, ref_hists = [], []
+    for seed in args.seeds:
+        cfg = build_cfg(args.method, args.epochs, args.workdir).replace(seed=seed)
+        corpus, refs, feats = make_learnable_synthetic(
+            cfg, n_videos=args.videos, n_classes=4)
+        paths = dump_reference_files(cfg, corpus, refs, feats,
+                                     os.path.join(args.workdir, "refdata"))
+        navc_hists.append(train_navc(
+            cfg, corpus, refs, feats,
+            os.path.join(args.workdir, "navc_s%d" % seed)))
+        ref_hists.append(train_reference(cfg, paths, args.epochs))
 
     result = {
         "protocol": "same learnable synthetic corpus (%d videos, 4 latent "
                     "classes), same arch/hyperparams (d=32, lr 2e-3, adam, "
                     "no dropout), same scorer (navc_tpu COCOScorer) for both "
-                    "stacks; reference trained via its own misc/run.py loop"
-                    % args.videos,
+                    "stacks; reference trained via its own misc/run.py loop; "
+                    "seeds %s" % (args.videos, args.seeds),
         "method": args.method,
         "epochs": args.epochs,
-        "summary": summarize(ref_hist, navc_hist),
-        "reference_history": ref_hist,
-        "navc_history": navc_hist,
+        "seeds": args.seeds,
+        "summary": summarize(ref_hists, navc_hists),
+        "reference_history": (ref_hists[0] if len(ref_hists) == 1 else ref_hists),
+        "navc_history": (navc_hists[0] if len(navc_hists) == 1 else navc_hists),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
     }
     out_path = os.path.join(REPO, "PARITY_TRAINING.json")
