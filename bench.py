@@ -20,7 +20,7 @@ perf number.
 Flags:
     --profile   capture a jax.profiler trace of the timed region into
                 profiles/ (one-shot; inspect with tensorboard or xprof)
-    --batch N   override batch size (default 512)
+    --batch N   override batch size (default 2048)
 """
 
 import argparse
@@ -71,34 +71,49 @@ def _device_available(timeout_s: float = None) -> bool:
 
 
 def decode_flops_per_caption(cfg, n_enc_positions: int) -> float:
-    """Matmul FLOPs of one NACF caption at the benchmark decode settings.
+    """Algorithmic matmul FLOPs of one NACF caption at the benchmark settings.
 
     Counts the timed region only (decode; encode is outside, like the
     reference latency protocol): per length-beam row, (iterations + use_ct)
     student NAR forwards + 1 AR teacher rescoring forward
     (reference algorithms.py:242, 271-272), each = 1 BertLayer + vocab
-    projection over max_len positions.
+    projection. With the sparse-query refinement path
+    (ops.eligibility.fused_sparse_eligible), refinement step t only computes
+    q_t = max(1, floor(L*(1 - t/T))) query positions — the Q-side matmuls,
+    FFN, and vocab projection scale with q_t while K/V stay full-length.
     """
+    import math
+
     d = cfg.dim_hidden
     L = cfg.max_len
     V = cfg.vocab_size
     ffn = cfg.intermediate_size
     Te = n_enc_positions
 
-    qkv_self = 3 * 2 * L * d * d
-    attn_self = 2 * 2 * L * L * d          # scores + apply
-    out_proj = 2 * L * d * d
-    q_cross = 2 * L * d * d
-    kv_cross = 2 * 2 * Te * d * d
-    attn_cross = 2 * 2 * L * Te * d
-    cross_out = 2 * L * d * d
-    ffn_flops = 2 * 2 * L * d * ffn
-    vocab = 2 * L * d * V
-    per_fwd = (qkv_self + attn_self + out_proj + q_cross + kv_cross +
-               attn_cross + cross_out + ffn_flops + vocab)
+    def fwd(q):
+        q_proj = 2 * q * d * d
+        kv_self = 2 * 2 * L * d * d
+        attn_self = 2 * 2 * q * L * d          # scores + apply
+        out_proj = 2 * q * d * d
+        q_cross = 2 * q * d * d
+        kv_cross = 2 * 2 * Te * d * d
+        attn_cross = 2 * 2 * q * Te * d
+        cross_out = 2 * q * d * d
+        ffn_flops = 2 * 2 * q * d * ffn
+        vocab = 2 * q * d * V
+        return (q_proj + kv_self + attn_self + out_proj + q_cross + kv_cross +
+                attn_cross + cross_out + ffn_flops + vocab)
 
-    fwds_per_row = cfg.iterations + (1 if cfg.use_ct else 0) + 1  # +teacher
-    return per_fwd * fwds_per_row * cfg.length_beam_size
+    from navc_tpu.ops.eligibility import fused_sparse_eligible
+    T = cfg.iterations + (1 if cfg.use_ct else 0)
+    widths = [L]                     # iteration 0 (CT pass or first predict)
+    for c in range(1, T):
+        if fused_sparse_eligible(cfg) and not (cfg.use_ct and c == 1):
+            widths.append(max(1, int(math.floor(L * (1.0 - c / T)))))
+        else:
+            widths.append(L)         # dense step (CT completion or no sparse)
+    widths.append(L)                 # AR teacher rescoring forward
+    return sum(fwd(q) for q in widths) * cfg.length_beam_size
 
 
 def build_flagship(batch_size: int):
@@ -138,7 +153,7 @@ def read_baseline():
     return None
 
 
-def main(batch_size: int = 512, profile: bool = False):
+def main(batch_size: int = 2048, profile: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -211,7 +226,7 @@ def report_fallback():
     """Accelerator unreachable: report the last LIVE value only if fresh."""
     baseline = read_baseline()
     out = {
-        "metric": metric_name(512, " [STALE: accelerator unreachable at bench time]"),
+        "metric": metric_name(2048, " [STALE: accelerator unreachable at bench time]"),
         "value": None,
         "unit": "captions/sec/chip",
         "vs_baseline": None,
@@ -228,7 +243,7 @@ def report_fallback():
             age_h = float("inf")
         if age_h <= MAX_AGE_H:
             out = dict(live)
-            out["metric"] = (live.get("metric", metric_name(512)) +
+            out["metric"] = (live.get("metric", metric_name(2048)) +
                              " [STALE: accelerator unreachable; live value "
                              "%.1fh old]" % age_h)
             out["vs_baseline"] = (round(live["value"] / baseline, 2)
@@ -244,7 +259,7 @@ def report_fallback():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=2048)
     args = ap.parse_args()
     if _device_available():
         main(batch_size=args.batch, profile=args.profile)

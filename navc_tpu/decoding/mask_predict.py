@@ -126,6 +126,30 @@ def _predict_fn(model, variables, ctx: NARContext,
                 ids, maxp = fused_project_argmax(
                     hidden.reshape(n * l2, hdim), w, interpret=interpret)
                 return ids.reshape(n, l2), maxp.reshape(n, l2)
+
+            def predict_sub(tokens: jnp.ndarray, q_idx: jnp.ndarray,
+                            q_invalid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                """Sparse-query forward: only the ``q_idx`` positions are
+                predicted (mask-predict discards every other slot's output,
+                algorithms.py:260-265). Bit-identical to ``predict``'s rows
+                at those positions — see ops.fused_layer qsub notes."""
+                from ..ops.fused_layer import fused_nar_decoder_layer_qsub
+                tokens_q = jnp.take_along_axis(tokens, q_idx, axis=1)
+                static_q = jnp.take_along_axis(
+                    static, q_idx[..., None], axis=1)
+                hidden_q = fused_nar_decoder_layer_qsub(
+                    word_table[tokens_q], static_q, word_table[tokens], static,
+                    ctx.enc_output, q_invalid, tokens == C.PAD, layer_w,
+                    ln_scale, ln_bias, n_head=cfg.num_attention_heads, tb=4,
+                    interpret=interpret, ln_eps=cfg.layer_norm_eps)
+                n, k, hdim = hidden_q.shape
+                ids, maxp = fused_project_argmax(
+                    hidden_q.reshape(n * k, hdim), w, interpret=interpret)
+                return ids.reshape(n, k), maxp.reshape(n, k)
+
+            from ..ops.eligibility import fused_sparse_eligible
+            if fused_sparse_eligible(cfg):
+                predict.predict_sub = predict_sub
             return predict
 
         def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -287,7 +311,56 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         return (tokens, token_probs), ys
 
     collected = None
-    if T > 1:
+    predict_sub = getattr(predict, "predict_sub", None)
+    use_sparse = predict_sub is not None and not collect and T > 1
+
+    if use_sparse:
+        # Sparse-query refinement: iteration t re-predicts only its re-masked
+        # slots (algorithms.py:260-265), so the decoder Q-side + vocab
+        # projection run on k_t = floor(L * (1 - t/T)) positions instead of
+        # L. Unrolled (T <= 6 is static) so every step gets its own static
+        # query width. Numerics identical to the dense scan path (the qsub
+        # kernel is row-bit-identical; schedule math unchanged).
+        import math as _math
+        L = tokens.shape[1]
+        rows = jnp.arange(tokens.shape[0])[:, None]
+        for c in range(1, T):
+            ratio = jnp.float32(1.0 - c / T)  # f64 host -> f32 cast, as scan
+            if teacher_score is not None and cfg.masking_decision:
+                corresponding = teacher_score(tokens, pad_mask)
+            else:
+                corresponding = jnp.ones_like(token_probs)
+            if use_ct and c == 1:
+                # CT completion re-masks every still-<mask> slot — up to the
+                # full length, so this step stays dense (algorithms.py:250-254)
+                mask_ind = tokens == C.MASK
+                masked = jnp.where(mask_ind, C.MASK, tokens)
+                new_ids, new_probs, _ = call(masked)
+                new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+                tokens = jnp.where(mask_ind, new_ids, masked)
+                token_probs = jnp.where(mask_ind, new_probs, token_probs)
+                continue
+            num_mask = (seq_lens * ratio).astype(jnp.int32)
+            mask_ind = rank_mask_smallest(token_probs * corresponding,
+                                          jnp.maximum(1, num_mask))
+            masked = jnp.where(mask_ind, C.MASK, tokens)
+            # static per-step query bound: num_mask <= floor(L * ratio)
+            k_bound = max(1, int(_math.floor(L * (1.0 - c / T))))
+            order = jnp.argsort((~mask_ind).astype(jnp.int32), axis=1,
+                                stable=True)  # masked slots first, in order
+            q_idx = order[:, :k_bound]
+            valid = jnp.take_along_axis(mask_ind, q_idx, axis=1)
+            ids_q, probs_q = predict_sub(masked, q_idx, ~valid)
+            old_ids = jnp.take_along_axis(masked, q_idx, axis=1)
+            old_probs = jnp.take_along_axis(token_probs, q_idx, axis=1)
+            tokens = masked.at[rows, q_idx].set(
+                jnp.where(valid, ids_q, old_ids))
+            token_probs = token_probs.at[rows, q_idx].set(
+                jnp.where(valid, probs_q, old_probs))
+            # pad slots keep PAD / prob 1.0 (dense path's _apply_pad)
+            tokens = jnp.where(pad_mask, C.PAD, tokens)
+            token_probs = jnp.where(pad_mask, 1.0, token_probs)
+    elif T > 1:
         # Mask-ratio schedule computed in float64 on the host then cast to
         # float32, matching torch's python-float -> f32-tensor promotion
         # (algorithms.py:255-256); computing 1 - t/T in f32 on-device flips

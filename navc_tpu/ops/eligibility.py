@@ -35,6 +35,21 @@ def fused_layer_eligible(cfg: Config, causal: bool) -> bool:
     return ok and cfg.enhance_input in (0, 2)
 
 
+def fused_sparse_eligible(cfg: Config) -> bool:
+    """Can mask-predict use the sparse-query refinement path?
+
+    Requires the fully-fused NAR layer + fused projection (the sparse path is
+    built from their Q-subset variants) and the 'mp' paradigm whose mask
+    counts shrink per iteration (algorithms.py:255-257) — l2r/ef reveal
+    positions instead, so their canvases do not shrink the same way.
+    """
+    import os
+    return (fused_layer_eligible(cfg, causal=False)
+            and fused_vocab_eligible(cfg)
+            and cfg.paradigm == "mp"
+            and not os.environ.get("NAVC_DENSE_REFINE"))  # A/B kill-switch
+
+
 def fused_vocab_eligible(cfg: Config) -> bool:
     """Can the fused projection(+argmax/gather) kernels be used?
 

@@ -252,6 +252,153 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Sparse-query variant: compute only K query positions per sequence
+# ---------------------------------------------------------------------------
+#
+# Mask-predict re-predicts ONLY the re-masked slots each refinement iteration
+# (reference algorithms.py:260-265) — at iteration t just ceil(len*(1-t/T))
+# positions. The dense layer+projection still computes all L positions and
+# throws most away. This variant takes per-sequence gathered query rows
+# (K << L): K/V still cover the full canvas (self-attention needs every
+# position as a key), but Q-side matmuls, the FFN, and the (H x V) vocab
+# projection downstream all shrink by L/K. Row-independent math makes the
+# kept rows bit-identical to the dense kernel's.
+
+
+def _layer_body_qsub(xq, x, kp_q, kp, enc, enc_kp,
+                     wq_s, bq_s, wk_s, bk_s, wv_s, bv_s, wo_s, bo_s,
+                     wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
+                     wi, bi, wo2, bo2,
+                     out_ref, *, n_head, k_pad, l_pad, le_pad):
+    npm = (1.0 - kp_q)[:, None]
+
+    att = _attend_2d(xq, x, kp, wq_s, bq_s, wk_s, bk_s,
+                     wv_s, bv_s, wo_s, bo_s,
+                     n_head=n_head, lq=k_pad, lk=l_pad)
+    att = (att + xq) * npm
+
+    cross = _attend_2d(att, enc, enc_kp, wq_c, bq_c, wk_c, bk_c,
+                       wv_c, bv_c, wo_c, bo_c,
+                       n_head=n_head, lq=k_pad, lk=le_pad)
+    att = (cross + att) * npm
+
+    inter = jnp.dot(att.astype(jnp.bfloat16), wi,
+                    preferred_element_type=jnp.float32) + bi
+    inter = _gelu_new(inter)
+    down = jnp.dot(inter.astype(jnp.bfloat16), wo2,
+                   preferred_element_type=jnp.float32) + bo2
+    out_ref[:] = (down + att) * npm
+
+
+def _kernel_fold_qsub(xq_ref, sq_ref, x_ref, static_ref, lns_ref, lnb_ref,
+                      enc_ref, kpq_ref, kp_ref, enc_kp_ref, *wrefs,
+                      n_head, k_pad, l_pad, le_pad, ln_eps):
+    out_ref = wrefs[-1]
+    weights = [r[:] for r in wrefs[:-1]]
+
+    def ln(v, s):
+        y = v + s
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean((y - mu) * (y - mu), axis=-1, keepdims=True)
+        return (y - mu) * jax.lax.rsqrt(var + ln_eps) * lns_ref[:] + lnb_ref[:]
+
+    xq = ln(xq_ref[:], sq_ref[:])
+    x = ln(x_ref[:], static_ref[:])
+    _layer_body_qsub(xq, x, kpq_ref[:][:, 0], kp_ref[:][:, 0],
+                     enc_ref[:], enc_kp_ref[:][:, 0], *weights, out_ref,
+                     n_head=n_head, k_pad=k_pad, l_pad=l_pad, le_pad=le_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "tb", "interpret",
+                                             "ln_eps"))
+def fused_nar_decoder_layer_qsub(
+        xq: jnp.ndarray, static_q: jnp.ndarray, x: jnp.ndarray,
+        static: jnp.ndarray, enc: jnp.ndarray,
+        kpq_mask: jnp.ndarray, kp_mask: jnp.ndarray,
+        weights: Dict[str, jnp.ndarray],
+        ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+        n_head: int = 8, tb: int = 8, interpret: bool = False,
+        ln_eps: float = 1e-5) -> jnp.ndarray:
+    """Sparse-query fused layer (embedding epilogue folded).
+
+    xq: (N, K, H) raw word embeddings at the selected query positions;
+    static_q: (N, K, H) their position(+category/enhance) features;
+    x / static: (N, L, H) full-canvas equivalents (keys/values);
+    kpq_mask: (N, K) True where the query slot is padding/invalid;
+    kp_mask: (N, L) True where the canvas token is PAD.
+    Returns (N, K, H) hidden states — bit-identical to the dense kernel's
+    rows at the gathered positions.
+    """
+    n, k, h = xq.shape
+    l = x.shape[1]
+    le = enc.shape[1]
+    k_pad = _round_up(k, 8)
+    l_pad = _round_up(l, 8)
+    le_pad = _round_up(le, 8)
+    n_pad = _round_up(n, tb)
+
+    xqp = jnp.zeros((n_pad, k_pad, h), jnp.float32).at[:n, :k].set(xq)
+    sqp = jnp.zeros((n_pad, k_pad, h), jnp.float32).at[:n, :k].set(static_q)
+    xp = jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(x)
+    sp = jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(static)
+    encp = jnp.zeros((n_pad, le_pad, h), jnp.float32).at[:n, :le].set(enc)
+    kpq = jnp.ones((n_pad, k_pad), jnp.float32).at[:n, :k].set(
+        kpq_mask.astype(jnp.float32))
+    kp = jnp.ones((n_pad, l_pad), jnp.float32).at[:n, :l].set(
+        kp_mask.astype(jnp.float32))
+    enc_kp_row = (jnp.arange(le_pad) >= le).astype(jnp.float32)
+    enc_kp = jnp.broadcast_to(enc_kp_row[None, :], (n_pad, le_pad))
+
+    tq = tb * k_pad
+    t = tb * l_pad
+    tk = tb * le_pad
+    xq2 = xqp.reshape(n_pad * k_pad, h)
+    sq2 = sqp.reshape(n_pad * k_pad, h)
+    x2 = xp.reshape(n_pad * l_pad, h)
+    s2 = sp.reshape(n_pad * l_pad, h)
+    enc2 = encp.reshape(n_pad * le_pad, h)
+    kpq2 = kpq.reshape(n_pad * k_pad, 1)
+    kp2 = kp.reshape(n_pad * l_pad, 1)
+    enc_kp2 = enc_kp.reshape(n_pad * le_pad, 1)
+
+    w = {key: (v.astype(jnp.bfloat16) if v.ndim == 2 else v.astype(jnp.float32))
+         for key, v in weights.items()}
+
+    def wspec(key):
+        dims = w[key].shape
+        if len(dims) == 1:
+            w[key] = w[key][None, :]
+            dims = w[key].shape
+        return pl.BlockSpec(dims, lambda i: tuple(0 for _ in dims),
+                            memory_space=pltpu.VMEM)
+
+    wspecs = [wspec(key) for key in WEIGHT_KEYS]
+    lns = ln_scale.astype(jnp.float32)[None, :]
+    lnb = ln_bias.astype(jnp.float32)[None, :]
+    row_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((tq, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_fold_qsub, n_head=n_head, k_pad=k_pad,
+                          l_pad=l_pad, le_pad=le_pad, ln_eps=ln_eps),
+        grid=(n_pad // tb,),
+        in_specs=[qspec, qspec, xspec, xspec, row_spec, row_spec,
+                  pl.BlockSpec((tk, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+                 + wspecs,
+        out_specs=pl.BlockSpec((tq, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad * k_pad, h), jnp.float32),
+        interpret=interpret,
+    )(xq2, sq2, x2, s2, lns, lnb, enc2, kpq2, kp2, enc_kp2,
+      *[w[key] for key in WEIGHT_KEYS])
+
+    return out.reshape(n_pad, k_pad, h)[:n, :k]
+
+
+# ---------------------------------------------------------------------------
 # Weight extraction from the flax param tree
 # ---------------------------------------------------------------------------
 

@@ -85,3 +85,43 @@ def test_fused_generator_with_teacher_interpret():
     a = np.asarray(plain(variables, enc, None, tvars, tenc, None))
     b = np.asarray(fused(variables, enc, None, tvars, tenc, None))
     assert (a == b).mean() > 0.9, (a, b)
+
+
+def test_sparse_refinement_matches_dense_fused():
+    """The sparse-query refinement path (Q-subset kernel + scatter) must be
+    TOKEN-IDENTICAL to the dense fused scan path — same kernel math on the
+    kept rows, same select-worst schedule (algorithms.py:255-265)."""
+    import os
+
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding import make_nar_generator
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.ops.eligibility import fused_sparse_eligible
+
+    over = dict(
+        vocab_size=50, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
+        max_len=12, batch_size=3, length_beam_size=3, iterations=4,
+        compute_dtype="float32", use_pallas=True,
+    )
+    for use_ct in (False, True):
+        cfg = default_config("NACF" if use_ct else "NAB", dataset="MSVD",
+                             use_ct=use_ct, **over)
+        cfg = cfg.replace(teacher_path="", with_teacher=False,
+                          load_teacher_weights=False)
+        assert fused_sparse_eligible(cfg)
+        model = build_model(cfg)
+        variables = init_params(model, jax.random.PRNGKey(3), cfg)
+        feats = [jnp.asarray(np.random.RandomState(7).randn(3, cfg.n_frames, d)
+                             .astype(np.float32)) for d in cfg.modality_dims]
+        enc = model.apply(variables, feats, method=lambda m, f: m.encode(f))
+
+        sparse = np.asarray(
+            make_nar_generator(cfg, model, jit=False)(variables, enc, None))
+        os.environ["NAVC_DENSE_REFINE"] = "1"
+        try:
+            dense = np.asarray(
+                make_nar_generator(cfg, model, jit=False)(variables, enc, None))
+        finally:
+            del os.environ["NAVC_DENSE_REFINE"]
+        np.testing.assert_array_equal(sparse, dense)
