@@ -49,9 +49,18 @@ class NARContext(NamedTuple):
     dict_mapping: Optional[jnp.ndarray]  # (vocab,) student->teacher id map
 
 
+def _pad_pos_table(table: jnp.ndarray, l: int) -> jnp.ndarray:
+    """Position-embedding rows for an l-wide canvas; rows past the table end
+    (the 8-aligned canvas tail, always PAD slots) are zeros."""
+    if l <= table.shape[0]:
+        return table[:l]
+    return jnp.zeros((l, table.shape[1]), table.dtype).at[:table.shape[0]].set(table)
+
+
 def _predict_fn(model, variables, ctx: NARContext,
                 cfg: Optional[Config] = None,
-                want_attentions: bool = False) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+                want_attentions: bool = False,
+                canvas_len: Optional[int] = None) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """One NAR decoder forward -> (argmax ids, max probs).
 
     Reference generate_step_with_prob + generate_non_autoregressive
@@ -100,13 +109,13 @@ def _predict_fn(model, variables, ctx: NARContext,
             word_table = emb_p["word_embeddings"]["embedding"]
             ln_scale = emb_p["LayerNorm"]["scale"]
             ln_bias = emb_p["LayerNorm"]["bias"]
-            l = cfg.max_len
+            l = canvas_len or cfg.max_len
             n_rows = ctx.enc_output.shape[0]
             # iteration-invariant embedding parts: position (+category)
             # (+mean-pooled enc for enhance_input == 2) — hoisted out of the
             # refinement scan
             static = jnp.broadcast_to(
-                emb_p["position_embeddings"]["embedding"][None, :l, :],
+                _pad_pos_table(emb_p["position_embeddings"]["embedding"], l)[None],
                 (n_rows, l, word_table.shape[1]))
             if cfg.with_category and ctx.category is not None:
                 cat = emb_p["category_embeddings"]["embedding"][
@@ -176,11 +185,9 @@ def _predict_fn(model, variables, ctx: NARContext,
 def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                       cfg: Optional[Config] = None):
     """AR teacher per-token probabilities (algorithms.py:175-204)."""
-    from ..ops.eligibility import fused_layer_eligible, fused_vocab_eligible
+    from ..ops.eligibility import fused_teacher_eligible
     tcfg = teacher_model.cfg
-    use_fused = (cfg is not None and cfg.use_pallas
-                 and fused_layer_eligible(tcfg.replace(use_pallas=True), causal=True)
-                 and fused_vocab_eligible(tcfg.replace(use_pallas=True)))
+    use_fused = cfg is not None and fused_teacher_eligible(cfg, tcfg)
 
     if use_fused:
         from ..ops.fused_layer import (fused_nar_decoder_layer,
@@ -201,7 +208,7 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
             inp = jnp.concatenate([bos, t], axis=1)[:, :-1]
             n, l = inp.shape
             static = jnp.broadcast_to(
-                emb_p["position_embeddings"]["embedding"][None, :l, :],
+                _pad_pos_table(emb_p["position_embeddings"]["embedding"], l)[None],
                 (n, l, word_table.shape[1]))
             if tcfg.with_category and ctx.teacher_category is not None:
                 cat = emb_p["category_embeddings"]["embedding"][
@@ -344,8 +351,9 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
             mask_ind = rank_mask_smallest(token_probs * corresponding,
                                           jnp.maximum(1, num_mask))
             masked = jnp.where(mask_ind, C.MASK, tokens)
-            # static per-step query bound: num_mask <= floor(L * ratio)
-            k_bound = max(1, int(_math.floor(L * (1.0 - c / T))))
+            # static per-step query bound: num_mask <= floor(L * ratio);
+            # rounded up to 8 so the qsub kernel's q-padding is a no-op
+            k_bound = min(L, -(-max(1, int(_math.floor(L * (1.0 - c / T)))) // 8) * 8)
             order = jnp.argsort((~mask_ind).astype(jnp.int32), axis=1,
                                 stable=True)  # masked slots first, in order
             q_idx = order[:, :k_bound]
@@ -548,7 +556,16 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
         pred_length = enc_results["pred_length"]
         bsz = pred_length.shape[0]
         beam = predict_length_beam(pred_length, lbs, cfg.length_bias, cfg.max_len)
-        tokens, pad_mask, lengths = build_canvas(beam, cfg.max_len)
+        # When every forward is fused, run the whole refinement on an
+        # 8-aligned canvas: the kernels' per-call padding copies become
+        # no-ops (the extra columns are ordinary PAD slots — prob 1.0,
+        # log-prob 0 — so select-worst and beam scoring are unchanged).
+        from ..ops.eligibility import fused_decode_eligible
+        aligned = (not collect_attentions and fused_decode_eligible(
+            cfg, teacher_model.cfg if (use_teacher and teacher_model is not None)
+            else None))
+        run_len = -(-cfg.max_len // 8) * 8 if aligned else cfg.max_len
+        tokens, pad_mask, lengths = build_canvas(beam, run_len)
 
         ctx = NARContext(
             enc_output=enlarge(enc_results["enc_output"], lbs),
@@ -560,7 +577,8 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
             dict_mapping=dict_mapping,
         )
         predict = _predict_fn(model, variables, ctx, cfg,
-                              want_attentions=collect_attentions)
+                              want_attentions=collect_attentions,
+                              canvas_len=run_len)
         teacher_score = None
         if use_teacher and teacher_variables is not None and ctx.teacher_enc_output is not None:
             teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx, cfg)
@@ -573,6 +591,7 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
             hyp, lprobs = algorithm(predict, teacher_score, tokens, pad_mask,
                                     lengths, cfg)
         best = select_best_length_beam(hyp, lprobs, lengths, bsz, lbs, cfg.beam_alpha)
+        best = best[:, :cfg.max_len]  # drop the aligned-canvas PAD tail
         if not collect:
             return best
 
@@ -592,7 +611,8 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
             sel = best_idx.reshape((bsz,) + (1,) * (a.ndim - 1))
             return jnp.take_along_axis(a, sel, axis=2)[:, :, 0]
 
-        toks, probs = gather_best(collected[0]), gather_best(collected[1])
+        toks = gather_best(collected[0])[..., :cfg.max_len]
+        probs = gather_best(collected[1])[..., :cfg.max_len]
         if collect_attentions:
             attns = [gather_best(a) for a in collected[2:]]
             return best, (toks, probs), attns

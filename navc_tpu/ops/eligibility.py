@@ -35,6 +35,26 @@ def fused_layer_eligible(cfg: Config, causal: bool) -> bool:
     return ok and cfg.enhance_input in (0, 2)
 
 
+def fused_teacher_eligible(cfg: Config, teacher_cfg: Config) -> bool:
+    """Can the AR teacher rescoring forward use the fused causal layer +
+    gather-prob projection? (student cfg carries the use_pallas switch)"""
+    t = teacher_cfg.replace(use_pallas=True)
+    return (cfg.use_pallas
+            and fused_layer_eligible(t, causal=True)
+            and fused_vocab_eligible(t))
+
+
+def fused_decode_eligible(cfg: Config, teacher_cfg: Config = None) -> bool:
+    """Does the ENTIRE NAR decode run through fused kernels (student forward,
+    and teacher rescoring when a teacher participates)? Only then may the
+    generator run on an 8-aligned canvas — the XLA fallback paths index the
+    position table at canvas width and would read out of bounds."""
+    ok = fused_layer_eligible(cfg, causal=False) and fused_vocab_eligible(cfg)
+    if teacher_cfg is not None:
+        ok = ok and fused_teacher_eligible(cfg, teacher_cfg)
+    return ok
+
+
 def fused_sparse_eligible(cfg: Config) -> bool:
     """Can mask-predict use the sparse-query refinement path?
 

@@ -149,6 +149,24 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _pad3(a, n_pad, l_pad):
+    """Zero-pad (N, L, H) to (n_pad, l_pad, H) — no-op copy when already
+    aligned (the decode hot loop runs on an 8-aligned canvas precisely so
+    these HBM round-trips vanish)."""
+    n, l, h = a.shape
+    if n == n_pad and l == l_pad:
+        return a.astype(jnp.float32)
+    return jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(a)
+
+
+def _pad2(a, n_pad, l_pad, fill=1.0):
+    n, l = a.shape
+    if n == n_pad and l == l_pad:
+        return a.astype(jnp.float32)
+    return jnp.full((n_pad, l_pad), fill, jnp.float32).at[:n, :l].set(
+        a.astype(jnp.float32))
+
+
 WEIGHT_KEYS = ["wq_s", "bq_s", "wk_s", "bk_s", "wv_s", "bv_s", "wo_s", "bo_s",
                "wq_c", "bq_c", "wk_c", "bk_c", "wv_c", "bv_c", "wo_c", "bo_c",
                "wi", "bi", "wo2", "bo2"]
@@ -186,10 +204,9 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
     le_pad = _round_up(le, 8)
     n_pad = _round_up(n, tb)
 
-    xp = jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(x)
-    encp = jnp.zeros((n_pad, le_pad, h), jnp.float32).at[:n, :le].set(enc)
-    kp = jnp.ones((n_pad, l_pad), jnp.float32).at[:n, :l].set(
-        kp_mask.astype(jnp.float32))
+    xp = _pad3(x, n_pad, l_pad)
+    encp = _pad3(enc, n_pad, le_pad)
+    kp = _pad2(kp_mask, n_pad, l_pad)
     enc_kp_row = (jnp.arange(le_pad) >= le).astype(jnp.float32)
     enc_kp = jnp.broadcast_to(enc_kp_row[None, :], (n_pad, le_pad))
 
@@ -223,7 +240,7 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
     ]
 
     if fold:
-        staticp = jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(static)
+        staticp = _pad3(static, n_pad, l_pad)
         static2 = staticp.reshape(n_pad * l_pad, h)
         lns = ln_scale.astype(jnp.float32)[None, :]
         lnb = ln_bias.astype(jnp.float32)[None, :]
@@ -337,15 +354,13 @@ def fused_nar_decoder_layer_qsub(
     le_pad = _round_up(le, 8)
     n_pad = _round_up(n, tb)
 
-    xqp = jnp.zeros((n_pad, k_pad, h), jnp.float32).at[:n, :k].set(xq)
-    sqp = jnp.zeros((n_pad, k_pad, h), jnp.float32).at[:n, :k].set(static_q)
-    xp = jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(x)
-    sp = jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(static)
-    encp = jnp.zeros((n_pad, le_pad, h), jnp.float32).at[:n, :le].set(enc)
-    kpq = jnp.ones((n_pad, k_pad), jnp.float32).at[:n, :k].set(
-        kpq_mask.astype(jnp.float32))
-    kp = jnp.ones((n_pad, l_pad), jnp.float32).at[:n, :l].set(
-        kp_mask.astype(jnp.float32))
+    xqp = _pad3(xq, n_pad, k_pad)
+    sqp = _pad3(static_q, n_pad, k_pad)
+    xp = _pad3(x, n_pad, l_pad)
+    sp = _pad3(static, n_pad, l_pad)
+    encp = _pad3(enc, n_pad, le_pad)
+    kpq = _pad2(kpq_mask, n_pad, k_pad)
+    kp = _pad2(kp_mask, n_pad, l_pad)
     enc_kp_row = (jnp.arange(le_pad) >= le).astype(jnp.float32)
     enc_kp = jnp.broadcast_to(enc_kp_row[None, :], (n_pad, le_pad))
 
