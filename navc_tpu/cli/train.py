@@ -18,6 +18,17 @@ from .opts import parse_config
 
 
 def main(argv=None):
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # --distributed: join/form a jax.distributed cluster (multi-host pods use
+    # auto-detection; explicit clusters via NAVC_COORDINATOR/NAVC_NUM_PROCESSES/
+    # NAVC_PROCESS_ID). Must run before any other JAX API.
+    distributed = "--distributed" in argv
+    if distributed:
+        argv.remove("--distributed")
+        from ..parallel import initialize
+        initialize()
+
     from ..runtime.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     cfg = parse_config(argv)
@@ -42,7 +53,13 @@ def main(argv=None):
 
     # warm start from a full pretrained checkpoint (reference train.py:85-87)
     # is handled inside train_network_all via cfg.pretrained_path
-    out = train_network_all(cfg, workdir=workdir, info_corpus=info_corpus)
+    loop_fn = train_network_all
+    if distributed:
+        import jax
+        if jax.process_count() > 1:
+            from ..runtime.distributed_loop import train_network_all_multihost
+            loop_fn = train_network_all_multihost
+    out = loop_fn(cfg, workdir=workdir, info_corpus=info_corpus)
     if "test_res" in out:
         print({k: v for k, v in out["test_res"].items()})
     return out

@@ -125,24 +125,28 @@ class BatchLoader:
             raise error[0]
 
 
-def device_prefetch(iterator, depth: int = 2):
+def device_prefetch(iterator, depth: int = 2, put_fn=None):
     """Wrap a batch iterator with async host->device staging.
 
     Keeps ``depth`` batches already transferred (jax.device_put) while the
     current step runs, overlapping PCIe/ICI transfer with compute — the
     TPU-native replacement for torch pin_memory/non_blocking copies.
-    Non-array entries (video ids) pass through untouched.
+    Non-array entries (video ids) pass through untouched. ``put_fn``
+    overrides the per-batch placement (multi-host training passes
+    ``parallel.shard_batch`` to assemble global arrays on the mesh).
     """
     import collections
 
     import jax
     import numpy as np
 
-    queue = collections.deque()
-
     def stage(batch):
+        if put_fn is not None:
+            return put_fn(batch)
         return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
                 for k, v in batch.items()}
+
+    queue = collections.deque()
 
     it = iter(iterator)
     try:

@@ -31,8 +31,10 @@ METRIC_FIELDS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
 
 def run_train_epoch(cfg: Config, train_step, state: TrainState, loader: BatchLoader,
                     lr_schedule: LrSchedule, rng_key, logger: Optional[CsvLogger] = None,
-                    epoch: int = -1):
-    """One epoch of jitted steps (reference run_train, run.py:249-269)."""
+                    epoch: int = -1, put_fn=None):
+    """One epoch of jitted steps (reference run_train, run.py:249-269).
+
+    ``put_fn`` overrides batch placement (multi-host: parallel.shard_batch)."""
     from ..data.loader import device_prefetch
 
     meters: Dict[str, AverageMeter] = {}
@@ -42,7 +44,8 @@ def run_train_epoch(cfg: Config, train_step, state: TrainState, loader: BatchLoa
             yield {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
 
     for i, device_batch in enumerate(
-            device_prefetch(array_batches(), depth=cfg.prefetch_depth)):
+            device_prefetch(array_batches(), depth=cfg.prefetch_depth,
+                            put_fn=put_fn)):
         lr = lr_schedule.step_lr()
         state.opt_state.hyperparams["learning_rate"] = lr
         rng_key, step_key = jax.random.split(rng_key)

@@ -113,3 +113,39 @@ def test_matches_single_process_numerics(worker_results):
 
     r0 = worker_results[0]
     np.testing.assert_allclose(losses, r0["losses"], rtol=2e-4)
+
+
+def test_multihost_training_loop():
+    """train_network_all_multihost over a real 2-process cluster: SPMD
+    epochs in lockstep (identical global train losses on both hosts),
+    eval/checkpoint/k-best on process 0 only."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="navc_mhloop_")
+    try:
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_loop_worker.py"),
+             str(i), "2", str(port), workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, "worker failed:\n%s\n%s" % (out, err)
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        outs.sort(key=lambda o: o["process"])
+        r0, r1 = outs
+        np.testing.assert_allclose(r0["train_curve"], r1["train_curve"],
+                                   rtol=1e-6)
+        assert len(r0["train_curve"]) == 2
+        assert r0["n_eval"] == 2 and r1["n_eval"] == 0  # primary-only eval
+        run = os.path.join(workdir, "run")
+        assert os.path.exists(os.path.join(run, "best.ckpt"))
+        assert os.path.exists(os.path.join(run, "trainning_record.csv"))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
