@@ -28,7 +28,8 @@ REFERENCE = "/root/reference"
 sys.path.insert(0, REPO)
 
 
-def build_cfg(method: str, epochs: int, workdir: str):
+def build_cfg(method: str, epochs: int, workdir: str,
+              navc_teacher_path: str = ""):
     from navc_tpu.config import default_config
 
     cfg = default_config(
@@ -42,8 +43,16 @@ def build_cfg(method: str, epochs: int, workdir: str):
         learning_rate=2e-3, minimum_learning_rate=5e-4,
         base_checkpoint_path=workdir, no_test=True, tolerence=1000)
     if method in ("NAB", "NACF"):
-        cfg = cfg.replace(teacher_path="", load_teacher_weights=False,
-                          with_teacher=False, length_beam_size=3, iterations=3)
+        if navc_teacher_path:
+            # flagship pipeline: teacher warm start + rescoring
+            # (reference misc/run.py:273-291)
+            cfg = cfg.replace(teacher_path=navc_teacher_path,
+                              load_teacher_weights=True, with_teacher=True,
+                              length_beam_size=3, iterations=3)
+        else:
+            cfg = cfg.replace(teacher_path="", load_teacher_weights=False,
+                              with_teacher=False, length_beam_size=3,
+                              iterations=3)
     return cfg
 
 
@@ -84,8 +93,15 @@ def opt_from_cfg(cfg, paths):
     return opt
 
 
-def train_reference(cfg, paths, epochs: int):
-    """Drive the ACTUAL reference training loop on CPU."""
+def train_reference(cfg, paths, epochs: int, torch_teacher_path: str = "",
+                    save_ckpt_path: str = ""):
+    """Drive the ACTUAL reference training loop on CPU.
+
+    ``torch_teacher_path``: .pth.tar of a trained reference ARB model —
+    enables the NAB/NACF teacher warm start + rescoring exactly as
+    misc/run.py:273-291. ``save_ckpt_path``: save the trained model in the
+    reference checkpoint format (utils.py:195-202) for use as a teacher.
+    """
     sys.path.insert(0, REFERENCE)
     cwd = os.getcwd()
     os.chdir(REFERENCE)  # config/methods.yaml etc. use relative paths
@@ -107,11 +123,24 @@ def train_reference(cfg, paths, epochs: int):
         from navc_tpu.metrics.scorer import COCOScorer
 
         opt = opt_from_cfg(cfg, paths)
+        if torch_teacher_path:
+            opt["teacher_path"] = torch_teacher_path
         torch.manual_seed(cfg.seed)
         np.random.seed(cfg.seed)
         random.seed(cfg.seed)
 
         model = get_model(opt)
+        teacher_model = None
+        if torch_teacher_path:
+            from misc.utils import load_model_and_opt, load_satisfied_weights
+            if opt.get("load_teacher_weights"):
+                # teacher warm start with key remap (misc/run.py:273-279)
+                model = load_satisfied_weights(
+                    model=model, checkpoint_path=torch_teacher_path,
+                    str_mapping={"decoder.bert.": "decoder."})
+            if opt.get("with_teacher") and opt["method"] in ("NAB", "NACF"):
+                teacher_model, _ = load_model_and_opt(torch_teacher_path, "cpu")
+                teacher_model.eval()
         crit = get_criterion(opt)
         optimizer = get_optimizer(opt, model)
         train_loader = get_loader(opt, "train")
@@ -127,7 +156,7 @@ def train_reference(cfg, paths, epochs: int):
                                    "cpu", epoch=epoch)
             optimizer.epoch_update_learning_rate()
             res = run_eval(opt, model, None, vali_loader, vocab, "cpu",
-                           scorer=scorer)
+                           scorer=scorer, teacher_model=teacher_model)
             res = {k: float(v) for k, v in res.items()
                    if isinstance(v, (int, float))}
             res["train_loss"] = float(train_loss)
@@ -137,6 +166,9 @@ def train_reference(cfg, paths, epochs: int):
             print("[reference] epoch %2d loss=%.3f CIDEr=%.3f Bleu_4=%.3f"
                   % (epoch, res["train_loss"], res["CIDEr"], res["Bleu_4"]),
                   file=sys.stderr)
+        if save_ckpt_path:
+            torch.save({"state_dict": model.state_dict(), "settings": opt},
+                       save_ckpt_path)
         return history
     finally:
         os.chdir(cwd)
@@ -195,7 +227,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--videos", type=int, default=48)
     ap.add_argument("--seeds", nargs="+", type=int, default=[0])
-    ap.add_argument("--method", default="ARB", choices=["ARB", "NAB"])
+    ap.add_argument("--method", default="ARB", choices=["ARB", "NAB", "NACF"])
     ap.add_argument("--workdir", default="/tmp/parity_training")
     args = ap.parse_args()
 
@@ -205,7 +237,25 @@ def main():
 
     navc_hists, ref_hists = [], []
     for seed in args.seeds:
-        cfg = build_cfg(args.method, args.epochs, args.workdir).replace(seed=seed)
+        navc_teacher, torch_teacher = "", ""
+        if args.method == "NACF":
+            # flagship pipeline: train the ARB teacher in each stack first
+            # (reference README.md:150-162 two-stage recipe)
+            tcfg = build_cfg("ARB", args.epochs, args.workdir).replace(seed=seed)
+            corpus, refs, feats = make_learnable_synthetic(
+                tcfg, n_videos=args.videos, n_classes=4)
+            paths = dump_reference_files(tcfg, corpus, refs, feats,
+                                         os.path.join(args.workdir, "refdata"))
+            tdir = os.path.join(args.workdir, "navc_arb_s%d" % seed)
+            train_navc(tcfg, corpus, refs, feats, tdir)
+            navc_teacher = os.path.join(tdir, "best.ckpt")
+            torch_teacher = os.path.join(args.workdir,
+                                         "ref_arb_s%d.pth.tar" % seed)
+            train_reference(tcfg, paths, args.epochs,
+                            save_ckpt_path=torch_teacher)
+
+        cfg = build_cfg(args.method, args.epochs, args.workdir,
+                        navc_teacher_path=navc_teacher).replace(seed=seed)
         corpus, refs, feats = make_learnable_synthetic(
             cfg, n_videos=args.videos, n_classes=4)
         paths = dump_reference_files(cfg, corpus, refs, feats,
@@ -213,7 +263,8 @@ def main():
         navc_hists.append(train_navc(
             cfg, corpus, refs, feats,
             os.path.join(args.workdir, "navc_s%d" % seed)))
-        ref_hists.append(train_reference(cfg, paths, args.epochs))
+        ref_hists.append(train_reference(cfg, paths, args.epochs,
+                                         torch_teacher_path=torch_teacher))
 
     result = {
         "protocol": "same learnable synthetic corpus (%d videos, 4 latent "
