@@ -23,6 +23,7 @@ Reference idiosyncrasies preserved exactly (parity-tested vs a NumPy port):
 
 from __future__ import annotations
 
+import math
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -73,6 +74,115 @@ def _append_finished(state: BeamState, eligible: jnp.ndarray,
     return state._replace(
         fin_seqs=fin_seqs[:, :f], fin_scores=fin_scores[:, :f],
         fin_lens=fin_lens[:, :f], fin_count=new_count)
+
+
+def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
+    """Incremental (KV-cached) decode step for the 1-layer decoder.
+
+    The reference recomputes the whole prefix every token (Translator.py:108,
+    no KV cache); the previous TPU path did the same inside the while_loop.
+    Here step t computes ONE new position: its Q/K/V from the embedding of
+    token t-1, appended to the cache; self-attention reads the cached keys
+    with the same -10e6 masking, so every float op matches the full-prefix
+    forward at position t-1 exactly (same per-row dots, same softmax
+    denominator — masked keys underflow to exactly 0 in f32). Cross-attention
+    K/V over enc_output are position-invariant and computed ONCE per decode
+    instead of per forward. Per-step layer FLOPs drop from O(L·d²) to O(d²).
+    """
+    from ..models.layers import ACT2FN, MASK_FILL
+    from ..ops.fused_layer import layer_weights_from_params
+
+    p = variables["params"]["decoder"]
+    emb_p = p["embedding"]
+    w = layer_weights_from_params(p["layer_0"])
+    word_table = emb_p["word_embeddings"]["embedding"]
+    pos_table = emb_p["position_embeddings"]["embedding"]
+    ln_scale = emb_p["LayerNorm"]["scale"]
+    ln_bias = emb_p["LayerNorm"]["bias"]
+    nh = cfg.num_attention_heads
+    h = cfg.dim_hidden
+    dh = h // nh
+    eps = cfg.layer_norm_eps
+    f32 = cfg.compute_dtype == "float32"
+    act = ACT2FN[cfg.hidden_act]
+
+    def dense(x, kernel, bias):
+        if f32:
+            return jnp.dot(x, kernel) + bias
+        return jnp.dot(x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + bias
+
+    def layernorm(x):
+        # flax nn.LayerNorm fast-variance arithmetic, replicated exactly
+        mu = x.mean(-1, keepdims=True)
+        mu2 = (x * x).mean(-1, keepdims=True)
+        var = jnp.maximum(0.0, mu2 - mu * mu)
+        mul = jax.lax.rsqrt(var + eps) * ln_scale
+        return (x - mu) * mul + ln_bias
+
+    n = enc_tiled.shape[0]
+    cat_vec = 0.0
+    if cfg.with_category and cat_tiled is not None:
+        cat_vec = emb_p["category_embeddings"]["embedding"][
+            cat_tiled.reshape(n, -1)[:, 0]]
+
+    # cross-attention K/V: position-invariant, computed once per decode
+    ke = dense(enc_tiled, w["wk_c"], w["bk_c"]).reshape(n, -1, nh, dh)
+    ve = dense(enc_tiled, w["wv_c"], w["bv_c"]).reshape(n, -1, nh, dh)
+
+    def attend(q, kcache, vcache, mask):
+        # same einsum contractions as models.layers.attention_core
+        dt = jnp.float32 if f32 else jnp.bfloat16
+        scores = jnp.einsum("nhd,nlhd->nhl", q.astype(dt), kcache.astype(dt),
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(dh)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :],
+                               jnp.asarray(MASK_FILL, scores.dtype), scores)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("nhl,nlhd->nhd", probs.astype(dt), vcache.astype(dt),
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.float32).reshape(n, h)
+
+    def step(seqs_flat, kcache, vcache, t):
+        """(seqs (N, L), caches (N, L, nh, dh), t) -> (logprobs (N, V),
+        updated caches). Computes hidden for position t-1."""
+        tok = jax.lax.dynamic_slice_in_dim(seqs_flat, t - 1, 1, axis=1)[:, 0]
+        pos = jax.lax.dynamic_slice_in_dim(pos_table, t - 1, 1, axis=0)[0]
+        emb = word_table[tok] + pos[None, :]
+        if cfg.with_category and cat_tiled is not None:
+            emb = emb + cat_vec
+        x = layernorm(emb)
+        npm = (tok != C.PAD).astype(jnp.float32)[:, None]
+
+        q = dense(x, w["wq_s"], w["bq_s"]).reshape(n, nh, dh)
+        kt = dense(x, w["wk_s"], w["bk_s"]).reshape(n, nh, dh)
+        vt = dense(x, w["wv_s"], w["bv_s"]).reshape(n, nh, dh)
+        kcache = jax.lax.dynamic_update_slice_in_dim(
+            kcache, kt[:, None], t - 1, axis=1)
+        vcache = jax.lax.dynamic_update_slice_in_dim(
+            vcache, vt[:, None], t - 1, axis=1)
+
+        # key mask: causal (j > t-1, i.e. not yet written) + key-pad —
+        # identical to key_pad_mask | subsequent_mask at row t-1
+        l = seqs_flat.shape[1]
+        jpos = jnp.arange(l)[None, :]
+        mask = (jpos > (t - 1)) | (seqs_flat == C.PAD)
+        out = dense(attend(q, kcache, vcache, mask), w["wo_s"], w["bo_s"])
+        att = (out + x) * npm
+
+        qc = dense(att, w["wq_c"], w["bq_c"]).reshape(n, nh, dh)
+        outc = dense(attend(qc, ke, ve, None), w["wo_c"], w["bo_c"])
+        att = (outc + att) * npm
+
+        inter = act(dense(att, w["wi"], w["bi"]))
+        down = dense(inter, w["wo2"], w["bo2"])
+        h_t = (down + att) * npm
+
+        logits = model.apply(variables, h_t, method=lambda m, hh: m.project(hh))
+        return jax.nn.log_softmax(logits, axis=-1), kcache, vcache
+
+    return step
 
 
 def make_ar_generator(cfg: Config, model, jit: bool = True):
@@ -127,10 +237,19 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
     def generate(variables, enc_results: Dict[str, jnp.ndarray],
                  category: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from ..ops.eligibility import kv_cached_beam_eligible
+
         enc_output = enc_results["enc_output"]
         b = enc_output.shape[0]
         enc_tiled = enlarge(enc_output, k)
         cat_tiled = None if category is None else enlarge(category, k)
+
+        use_cache = kv_cached_beam_eligible(cfg)
+        if use_cache:
+            cached_step = _make_cached_step(cfg, model, variables,
+                                            enc_tiled, cat_tiled)
+            nh = cfg.num_attention_heads
+            dh = cfg.dim_hidden // nh
 
         seqs = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(C.BOS)
         state = BeamState(
@@ -143,9 +262,14 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             done=jnp.zeros((b,), bool),
         )
 
-        def step(state: BeamState, t: jnp.ndarray) -> BeamState:
-            wp = decode_step(variables, state.seqs.reshape(b * k, max_len),
-                             enc_tiled, cat_tiled, t).reshape(b, k, -1)
+        def step(state: BeamState, kc, vc, t):
+            if use_cache:
+                wp_flat, kc, vc = cached_step(
+                    state.seqs.reshape(b * k, max_len), kc, vc, t)
+                wp = wp_flat.reshape(b, k, -1)
+            else:
+                wp = decode_step(variables, state.seqs.reshape(b * k, max_len),
+                                 enc_tiled, cat_tiled, t).reshape(b, k, -1)
             v = wp.shape[-1]
 
             # --- advance (Beam.py:68-117) ---------------------------------
@@ -167,6 +291,17 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                 return best_scores, prev_k, next_word
 
             best_scores, prev_k, next_word = jax.lax.cond(t == 1, first_step, later_step)
+
+            if use_cache:
+                # the cache follows beam ancestry exactly like the sequences
+                kc = jnp.take_along_axis(
+                    kc.reshape(b, k, max_len, nh, dh),
+                    prev_k[:, :, None, None, None], axis=1
+                ).reshape(b * k, max_len, nh, dh)
+                vc = jnp.take_along_axis(
+                    vc.reshape(b, k, max_len, nh, dh),
+                    prev_k[:, :, None, None, None], axis=1
+                ).reshape(b * k, max_len, nh, dh)
 
             reordered = jnp.take_along_axis(
                 state.seqs, prev_k[:, :, None], axis=1)
@@ -192,7 +327,7 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             st = _append_finished(st, fallback, best_scores, new_seqs, t, specific)
 
             st = st._replace(done=st.done | newly_done | jnp.full((b,), False))
-            return st
+            return st, kc, vc
 
         # while_loop instead of a fixed scan: stops as soon as every instance
         # has collected its hypotheses — typical captions finish in ~1/3 of
@@ -200,14 +335,22 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         # the reference's fixed token loop (Translator.py:148-157 exits via
         # the same all-done condition but recomputes full prefixes serially)
         def cond(carry):
-            st, t = carry
+            st, kc, vc, t = carry
             return (t < max_len) & ~jnp.all(st.done)
 
         def body(carry):
-            st, t = carry
-            return step(st, t), t + 1
+            st, kc, vc, t = carry
+            st, kc, vc = step(st, kc, vc, t)
+            return st, kc, vc, t + 1
 
-        state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(1)))
+        if use_cache:
+            kc0 = jnp.zeros((b * k, max_len, nh, dh), jnp.float32)
+            vc0 = jnp.zeros((b * k, max_len, nh, dh), jnp.float32)
+        else:  # unused dummies keep one while_loop signature
+            kc0 = jnp.zeros((), jnp.float32)
+            vc0 = jnp.zeros((), jnp.float32)
+        state, _, _, _ = jax.lax.while_loop(
+            cond, body, (state, kc0, vc0, jnp.asarray(1)))
 
         # --- sort_finished (Beam.py:123-130) ------------------------------
         valid = jnp.arange(specific)[None, :] < state.fin_count[:, None]

@@ -35,6 +35,24 @@ def fused_layer_eligible(cfg: Config, causal: bool) -> bool:
     return ok and cfg.enhance_input in (0, 2)
 
 
+def kv_cached_beam_eligible(cfg: Config) -> bool:
+    """Can AR beam search use the incremental KV-cached decode step?
+
+    Pure-XLA fast path (no Pallas requirement) covering the same structural
+    configuration as the fused causal layer: 1 decoder layer, no
+    pos-attention, no attention LayerNorm, gelu_new, no sigmoid attention,
+    watch == 0. ``NAVC_NO_KVCACHE`` env disables it (A/B kill-switch).
+    """
+    import os
+    return (cfg.num_hidden_layers_decoder == 1
+            and not cfg.pos_attention
+            and not cfg.with_layernorm
+            and not cfg.use_sigmoid_to_get_attprob
+            and cfg.hidden_act == "gelu_new"
+            and cfg.watch == 0
+            and not os.environ.get("NAVC_NO_KVCACHE"))
+
+
 def fused_teacher_eligible(cfg: Config, teacher_cfg: Config) -> bool:
     """Can the AR teacher rescoring forward use the fused causal layer +
     gather-prob projection? (student cfg carries the use_pallas switch)"""

@@ -280,3 +280,43 @@ def test_mask_predict_parity_sweep(seed, lbs, iters, use_ct):
     ref_best = ref.np_select_best_length_beam(
         ref_tokens, ref_lprobs, np.asarray(lengths), 2, lbs, cfg.beam_alpha)
     np.testing.assert_array_equal(np.asarray(best), ref_best)
+
+
+def test_kv_cached_beam_matches_full_recompute():
+    """The KV-cached incremental beam step must be token-identical to the
+    full-prefix recompute path (NAVC_NO_KVCACHE kill-switch)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding import make_ar_generator
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.ops.eligibility import kv_cached_beam_eligible
+
+    cfg = default_config(
+        "ARB", dataset="MSRVTT",
+        vocab_size=60, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
+        max_len=10, batch_size=3, beam_size=3, beam_alpha=1.15,
+        with_category=True, compute_dtype="float32")
+    assert kv_cached_beam_eligible(cfg)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(11)
+    feats = [jax.numpy.asarray(rng.randn(3, cfg.n_frames, d).astype(np.float32))
+             for d in cfg.modality_dims]
+    category = jax.numpy.asarray(rng.randint(0, cfg.num_category, (3, 1)))
+    enc = model.apply(variables, feats, method=lambda m, f: m.encode(f))
+
+    hyp_c, sc_c = make_ar_generator(cfg, model, jit=False)(
+        variables, enc, category)
+    os.environ["NAVC_NO_KVCACHE"] = "1"
+    try:
+        hyp_f, sc_f = make_ar_generator(cfg, model, jit=False)(
+            variables, enc, category)
+    finally:
+        del os.environ["NAVC_NO_KVCACHE"]
+    np.testing.assert_array_equal(np.asarray(hyp_c), np.asarray(hyp_f))
+    np.testing.assert_allclose(np.asarray(sc_c), np.asarray(sc_f), rtol=1e-6)
