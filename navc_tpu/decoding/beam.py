@@ -94,11 +94,13 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
 
     p = variables["params"]["decoder"]
     emb_p = p["embedding"]
-    w = layer_weights_from_params(p["layer_0"])
-    word_table = emb_p["word_embeddings"]["embedding"]
-    pos_table = emb_p["position_embeddings"]["embedding"]
-    ln_scale = emb_p["LayerNorm"]["scale"]
-    ln_bias = emb_p["LayerNorm"]["bias"]
+    # checkpoint-loaded trees hold numpy leaves; traced indexing needs jnp
+    w = {kk: jnp.asarray(vv)
+         for kk, vv in layer_weights_from_params(p["layer_0"]).items()}
+    word_table = jnp.asarray(emb_p["word_embeddings"]["embedding"])
+    pos_table = jnp.asarray(emb_p["position_embeddings"]["embedding"])
+    ln_scale = jnp.asarray(emb_p["LayerNorm"]["scale"])
+    ln_bias = jnp.asarray(emb_p["LayerNorm"]["bias"])
     nh = cfg.num_attention_heads
     h = cfg.dim_hidden
     dh = h // nh
@@ -123,7 +125,7 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
     n = enc_tiled.shape[0]
     cat_vec = 0.0
     if cfg.with_category and cat_tiled is not None:
-        cat_vec = emb_p["category_embeddings"]["embedding"][
+        cat_vec = jnp.asarray(emb_p["category_embeddings"]["embedding"])[
             cat_tiled.reshape(n, -1)[:, 0]]
 
     # cross-attention K/V: position-invariant, computed once per decode

@@ -94,7 +94,8 @@ def _predict_fn(model, variables, ctx: NARContext,
 
     if use_pallas:
         from ..ops.vocab_fused import fused_project_argmax
-        w = variables["params"]["tgt_word_prj"]["kernel"]
+        # checkpoint-loaded trees hold numpy leaves; traced indexing needs jnp
+        w = jnp.asarray(variables["params"]["tgt_word_prj"]["kernel"])
         interpret = jax.default_backend() == "cpu"
 
         # the fully-fused decoder layer covers the decode hot-loop config:
@@ -103,12 +104,13 @@ def _predict_fn(model, variables, ctx: NARContext,
         if fully_fused:
             from ..ops.fused_layer import (fused_nar_decoder_layer,
                                            layer_weights_from_params)
-            layer_w = layer_weights_from_params(
-                variables["params"]["decoder"]["layer_0"])
+            layer_w = jax.tree_util.tree_map(
+                jnp.asarray, layer_weights_from_params(
+                    variables["params"]["decoder"]["layer_0"]))
             emb_p = variables["params"]["decoder"]["embedding"]
-            word_table = emb_p["word_embeddings"]["embedding"]
-            ln_scale = emb_p["LayerNorm"]["scale"]
-            ln_bias = emb_p["LayerNorm"]["bias"]
+            word_table = jnp.asarray(emb_p["word_embeddings"]["embedding"])
+            ln_scale = jnp.asarray(emb_p["LayerNorm"]["scale"])
+            ln_bias = jnp.asarray(emb_p["LayerNorm"]["bias"])
             l = canvas_len or cfg.max_len
             n_rows = ctx.enc_output.shape[0]
             # iteration-invariant embedding parts: position (+category)
@@ -118,7 +120,7 @@ def _predict_fn(model, variables, ctx: NARContext,
                 _pad_pos_table(emb_p["position_embeddings"]["embedding"], l)[None],
                 (n_rows, l, word_table.shape[1]))
             if cfg.with_category and ctx.category is not None:
-                cat = emb_p["category_embeddings"]["embedding"][
+                cat = jnp.asarray(emb_p["category_embeddings"]["embedding"])[
                     ctx.category.reshape(n_rows, -1)[:, 0]]
                 static = static + cat[:, None, :]
             if cfg.enhance_input == 2:
@@ -193,11 +195,12 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
         from ..ops.fused_layer import (fused_nar_decoder_layer,
                                        layer_weights_from_params)
         from ..ops.vocab_fused import fused_project_gather_prob
-        layer_w = layer_weights_from_params(
-            teacher_variables["params"]["decoder"]["layer_0"])
-        w = teacher_variables["params"]["tgt_word_prj"]["kernel"]
+        layer_w = jax.tree_util.tree_map(
+            jnp.asarray, layer_weights_from_params(
+                teacher_variables["params"]["decoder"]["layer_0"]))
+        w = jnp.asarray(teacher_variables["params"]["tgt_word_prj"]["kernel"])
         emb_p = teacher_variables["params"]["decoder"]["embedding"]
-        word_table = emb_p["word_embeddings"]["embedding"]
+        word_table = jnp.asarray(emb_p["word_embeddings"]["embedding"])
         interpret = jax.default_backend() == "cpu"
 
         def score(tokens: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
@@ -211,7 +214,7 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                 _pad_pos_table(emb_p["position_embeddings"]["embedding"], l)[None],
                 (n, l, word_table.shape[1]))
             if tcfg.with_category and ctx.teacher_category is not None:
-                cat = emb_p["category_embeddings"]["embedding"][
+                cat = jnp.asarray(emb_p["category_embeddings"]["embedding"])[
                     ctx.teacher_category.reshape(n, -1)[:, 0]]
                 static = static + cat[:, None, :]
             hidden = fused_nar_decoder_layer(

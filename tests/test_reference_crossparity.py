@@ -414,3 +414,35 @@ def test_attention_collection_cross_parity():
         r = ref.numpy()
         m = np.asarray(mine)[:, :, :, :dyn, :r.shape[-1]]
         np.testing.assert_allclose(m, r, atol=1e-4, rtol=1e-3)
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """navc-convert turns a reference .pth.tar into a loadable navc .ckpt
+    whose beam decode is token-identical to the torch original."""
+    from navc_tpu.cli.convert import main as convert_main
+    from navc_tpu.runtime.checkpoint import load_model_and_config
+
+    opt, tmodel, cfg, jmodel, variables = build_pair("ARB", seed=9)
+    src = str(tmp_path / "best.pth.tar")
+    torch.save({"state_dict": tmodel.state_dict(), "settings": opt,
+                "epoch": 7}, src)
+    dst = str(tmp_path / "best.ckpt")
+    convert_main([src, dst])
+
+    model2, vars2, cfg2, other = load_model_and_config(dst)
+    assert other.get("epoch") == 7
+    assert cfg2.vocab_size == opt["vocab_size"]
+
+    feats, category = make_inputs(opt, b=3, seed=4)
+    enc_t, enc_j = encode_both(opt, tmodel, model2, vars2, feats)
+    translator = RefTranslator(tmodel, opt, device=torch.device("cpu"))
+    vocab = {i: "w%d" % i for i in range(opt["vocab_size"])}
+    batch_hyp, _ = translator.translate_batch(
+        enc_t, torch.from_numpy(category), tgt_tokens=None, tgt_vocab=vocab)
+    seqs, _ = make_ar_generator(cfg2, model2, jit=False)(
+        vars2, enc_j, jnp.asarray(category, jnp.int32))
+    seqs = np.asarray(seqs)
+    for i in range(3):
+        hyp = batch_hyp[i][0]
+        assert list(seqs[i][:len(hyp)]) == hyp
+        assert (seqs[i][len(hyp):] == C.PAD).all()
