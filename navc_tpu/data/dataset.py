@@ -150,6 +150,14 @@ class VideoDataset:
         self.specific = specific
 
         self.random = np.random.RandomState(cfg.seed)
+        # Multi-host lockstep: per-item draws (frame sampling, MLM masking)
+        # consume host-DIFFERENT amounts of self.random (each host loads its
+        # own shard), so any decision that must be identical on every host —
+        # the epoch permutation, infoset caption re-choice — has to come from
+        # a stream that per-item draws never touch. get_loader(host_shard=
+        # True) flips host_lockstep; single-host behavior is unchanged.
+        self.host_lockstep = False
+        self.structure_random = np.random.RandomState(cfg.seed + 0x5eed)
         self.sources = feature_sources or open_feature_sources(cfg, in_memory_feats)
         self.infoset = self._make_infoset()
         self._references = None
@@ -209,7 +217,8 @@ class VideoDataset:
                 cap_id_set = [0]
             else:
                 n = min(len(captions), self.n_caps_per_video)
-                cap_id_set = list(self.random.choice(len(captions), n, replace=False))
+                rng = self.structure_random if self.host_lockstep else self.random
+                cap_id_set = list(rng.choice(len(captions), n, replace=False))
 
             for cap_id in cap_id_set:
                 infoset.append({

@@ -77,7 +77,12 @@ class BatchLoader:
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
-            order = self.dataset.random.permutation(n)
+            # multi-host: the permutation must be identical on every host,
+            # but per-item draws advance dataset.random host-differently —
+            # use the lockstep structure stream instead (dataset.py)
+            rng = (self.dataset.structure_random
+                   if self.num_shards > 1 else self.dataset.random)
+            order = rng.permutation(n)
         else:
             order = np.arange(n)
         if self.num_shards > 1:
@@ -179,6 +184,7 @@ def get_loader(cfg, mode: str, info_corpus=None, feature_sources=None,
     if host_shard:
         import jax
         num_shards, shard_id = jax.process_count(), jax.process_index()
+        ds.host_lockstep = True  # structure RNG for infoset resampling
     return BatchLoader(
         ds,
         batch_size=batch_size or cfg.batch_size,

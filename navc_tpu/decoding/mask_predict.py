@@ -291,28 +291,38 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         ids, probs, attns = call(tokens)
         tokens, token_probs = _apply_pad(ids, probs, pad_mask)
 
+    # shared step pieces — the dense scan and the sparse unrolled loop must
+    # use ONE copy of the schedule/gating math so they cannot drift
+    def select_worst_set(toks, probs, ratio):
+        """Re-mask set for one refinement step (algorithms.py:255-257,
+        teacher masking_decision gate algorithms.py:175-204)."""
+        if teacher_score is not None and cfg.masking_decision:
+            corresponding = teacher_score(toks, pad_mask)
+        else:
+            corresponding = jnp.ones_like(probs)
+        num_mask = (seq_lens * ratio).astype(jnp.int32)
+        return rank_mask_smallest(probs * corresponding,
+                                  jnp.maximum(1, num_mask))
+
+    def dense_substep(toks, probs, mask_ind):
+        """Re-mask + full-width re-predict + merge (algorithms.py:258-265)."""
+        masked = jnp.where(mask_ind, C.MASK, toks)
+        new_ids, new_probs, new_attns = call(masked)
+        new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+        return (jnp.where(mask_ind, new_ids, masked),
+                jnp.where(mask_ind, new_probs, probs), new_attns)
+
     def body(carry, xs):
         counter, ratio = xs
         tokens, token_probs = carry
-        if teacher_score is not None and cfg.masking_decision:
-            corresponding = teacher_score(tokens, pad_mask)
-        else:
-            corresponding = jnp.ones_like(token_probs)
-
-        num_mask = (seq_lens * ratio).astype(jnp.int32)
-        worst = rank_mask_smallest(token_probs * corresponding,
-                                   jnp.maximum(1, num_mask))
+        worst = select_worst_set(tokens, token_probs, ratio)
         if use_ct:
             # first loop step completes the CT canvas (algorithms.py:250-254)
             mask_ind = jnp.where(counter == 1, tokens == C.MASK, worst)
         else:
             mask_ind = worst
-
-        masked = jnp.where(mask_ind, C.MASK, tokens)
-        new_ids, new_probs, new_attns = call(masked)
-        new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
-        tokens = jnp.where(mask_ind, new_ids, masked)
-        token_probs = jnp.where(mask_ind, new_probs, token_probs)
+        tokens, token_probs, new_attns = dense_substep(
+            tokens, token_probs, mask_ind)
         ys = None
         if collect:
             ys = (tokens, token_probs)
@@ -336,23 +346,13 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         rows = jnp.arange(tokens.shape[0])[:, None]
         for c in range(1, T):
             ratio = jnp.float32(1.0 - c / T)  # f64 host -> f32 cast, as scan
-            if teacher_score is not None and cfg.masking_decision:
-                corresponding = teacher_score(tokens, pad_mask)
-            else:
-                corresponding = jnp.ones_like(token_probs)
             if use_ct and c == 1:
                 # CT completion re-masks every still-<mask> slot — up to the
                 # full length, so this step stays dense (algorithms.py:250-254)
-                mask_ind = tokens == C.MASK
-                masked = jnp.where(mask_ind, C.MASK, tokens)
-                new_ids, new_probs, _ = call(masked)
-                new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
-                tokens = jnp.where(mask_ind, new_ids, masked)
-                token_probs = jnp.where(mask_ind, new_probs, token_probs)
+                tokens, token_probs, _ = dense_substep(
+                    tokens, token_probs, tokens == C.MASK)
                 continue
-            num_mask = (seq_lens * ratio).astype(jnp.int32)
-            mask_ind = rank_mask_smallest(token_probs * corresponding,
-                                          jnp.maximum(1, num_mask))
+            mask_ind = select_worst_set(tokens, token_probs, ratio)
             masked = jnp.where(mask_ind, C.MASK, tokens)
             # static per-step query bound: num_mask <= floor(L * ratio);
             # rounded up to 8 so the qsub kernel's q-padding is a no-op

@@ -67,6 +67,29 @@ def train_network_all_multihost(cfg: Config, workdir: Optional[str] = None,
     model = build_model(cfg)
     # identical seed on every host -> identical initial params
     variables = init_params(model, jax.random.PRNGKey(cfg.seed), cfg)
+
+    # warm starts, exactly as the single-host loop (loop.py / reference
+    # run.py:274-291): full pretrained load, then teacher-weight init with
+    # the decoder.bert. key remap. Host-side numpy on every host -> the
+    # sharded trees stay identical across processes.
+    if cfg.pretrained_path and os.path.exists(cfg.pretrained_path):
+        from .checkpoint import load_checkpoint
+        pre = load_checkpoint(cfg.pretrained_path)
+        variables = {"params": pre["params"]}
+        if pre.get("batch_stats"):
+            variables["batch_stats"] = pre["batch_stats"]
+    teacher_model, teacher_variables, teacher_cfg = None, None, None
+    if cfg.load_teacher_weights and cfg.teacher_path and \
+            os.path.exists(cfg.teacher_path):
+        from .checkpoint import load_satisfied_weights
+        variables = load_satisfied_weights(variables, cfg.teacher_path,
+                                           verbose=verbose and primary)
+    if cfg.with_teacher and cfg.method in ("NAB", "NACF") and \
+            cfg.teacher_path and os.path.exists(cfg.teacher_path):
+        from .checkpoint import load_model_and_config
+        teacher_model, teacher_variables, teacher_cfg, _ = \
+            load_model_and_config(cfg.teacher_path)
+
     sharded = {"params": shard_params(variables["params"], mesh)}
     if variables.get("batch_stats"):
         sharded["batch_stats"] = shard_params(variables["batch_stats"], mesh)
@@ -90,7 +113,8 @@ def train_network_all_multihost(cfg: Config, workdir: Optional[str] = None,
     best_model = KBestQueue(k_best_model=cfg.k_best_model,
                             folder_path=os.path.join(workdir, "tmp_models"),
                             standard=cfg.standard) if primary else None
-    evaluator = Evaluator(cfg, model) if primary else None
+    evaluator = Evaluator(cfg, model, teacher_cfg, teacher_model) \
+        if primary else None
 
     rng_key = jax.random.PRNGKey(cfg.seed + 1)
     put_fn = lambda batch: shard_batch(batch, mesh)  # noqa: E731
@@ -108,12 +132,15 @@ def train_network_all_multihost(cfg: Config, workdir: Optional[str] = None,
         keep = True
         if (epoch + 1) > cfg.start_eval_epoch and \
                 (epoch + 1) % cfg.save_checkpoint_every == 0:
+            # _host_local_params may allgather TP-sharded leaves — that is a
+            # COLLECTIVE, so every host must execute it, not just process 0
+            local_params = _host_local_params(state.params)
+            local_stats = (_host_local_params(state.batch_stats)
+                           if state.batch_stats else {})
             if primary:
-                local_params = _host_local_params(state.params)
-                local_stats = (_host_local_params(state.batch_stats)
-                               if state.batch_stats else {})
                 eval_vars = {"params": local_params, "batch_stats": local_stats}
                 res = run_eval(cfg, evaluator, eval_vars, vali_loader, vocab,
+                               teacher_variables=teacher_variables,
                                analyze=True)
                 res["train_loss"] = train_info.get("total_loss", 0.0)
                 res["epoch"] = epoch
@@ -150,4 +177,27 @@ def train_network_all_multihost(cfg: Config, workdir: Optional[str] = None,
                            "train_curve": train_curve}
     if primary and history:
         out["best_res"] = best_model.best_res
+
+    if not cfg.no_test:
+        # final test evaluation (reference run.py:349-356); collective
+        # gather first, then primary-local decode like the epoch evals
+        local_params = _host_local_params(state.params)
+        local_stats = (_host_local_params(state.batch_stats)
+                       if state.batch_stats else {})
+        if primary:
+            from .checkpoint import load_model_and_config
+            test_loader = get_loader(cfg, "test", **loader_kw)
+            if references is not None:
+                test_loader.dataset.set_references(references)
+            best_path = os.path.join(workdir, "best.ckpt")
+            if os.path.exists(best_path):
+                bmodel, bvars, bcfg, _ = load_model_and_config(best_path)
+                bevaluator = Evaluator(bcfg, bmodel, teacher_cfg, teacher_model)
+            else:
+                bvars = {"params": local_params, "batch_stats": local_stats}
+                bevaluator = evaluator
+            out["test_res"] = run_eval(cfg, bevaluator, bvars, test_loader,
+                                       vocab, teacher_variables=teacher_variables,
+                                       analyze=True)
+        multihost_utils.sync_global_devices("navc_final_test")
     return out

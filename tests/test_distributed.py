@@ -144,8 +144,86 @@ def test_multihost_training_loop():
                                    rtol=1e-6)
         assert len(r0["train_curve"]) == 2
         assert r0["n_eval"] == 2 and r1["n_eval"] == 0  # primary-only eval
-        run = os.path.join(workdir, "run")
+        run = os.path.join(workdir, "run_ARB")
         assert os.path.exists(os.path.join(run, "best.ckpt"))
         assert os.path.exists(os.path.join(run, "trainning_record.csv"))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_multihost_nacf_with_teacher():
+    """Flagship NACF over 2 hosts: teacher warm start + teacher-rescored
+    primary-only eval (the single-host loop's semantics, reference
+    run.py:273-291) — the collective param gather must run on every host."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="navc_mhnacf_")
+    try:
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_loop_worker.py"),
+             str(i), "2", str(port), workdir, "NACF"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            assert p.returncode == 0, "worker failed:\n%s\n%s" % (out, err)
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        outs.sort(key=lambda o: o["process"])
+        r0, r1 = outs
+        np.testing.assert_allclose(r0["train_curve"], r1["train_curve"],
+                                   rtol=1e-6)
+        assert r0["n_eval"] == 2 and r1["n_eval"] == 0
+        assert all(np.isfinite(c) for c in r0["ciders"])
+        run = os.path.join(workdir, "run_NACF")
+        assert os.path.exists(os.path.join(run, "best.ckpt"))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_epoch_permutations_stay_lockstep_across_hosts():
+    """Per-item draws consume dataset.random host-differently; epoch-2
+    permutations must still be identical on every host (structure RNG)."""
+    from navc_tpu.config import default_config
+    from navc_tpu.data.dataset import VideoDataset
+    from navc_tpu.data.loader import BatchLoader
+    from navc_tpu.data.synthetic import make_synthetic_corpus, make_synthetic_feats
+
+    cfg = default_config(
+        "NAB", dataset="MSVD",  # NAR: MLM masking draws per item
+        vocab_size=40, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, n_total_frames=10,
+        dim_i=12, dim_m=10, modality="mi", max_len=8, batch_size=2)
+    cfg = cfg.replace(teacher_path="", load_teacher_weights=False,
+                      with_teacher=False)
+    corpus, _ = make_synthetic_corpus(cfg, n_videos=10, n_caps=3, vocab_size=40)
+    feats = make_synthetic_feats(cfg, n_videos=10, n_total_frames=10)
+
+    # one dataset instance per simulated host
+    loaders = []
+    for shard in range(2):
+        ds = VideoDataset(cfg, "train", info_corpus=corpus,
+                          in_memory_feats=feats)
+        ds.host_lockstep = True
+        loaders.append(BatchLoader(ds, batch_size=2, shuffle=True,
+                                   num_shards=2, shard_id=shard))
+
+    # epoch 1: each host consumes ONLY its shard (different per-item draw
+    # counts advance ds.random differently)
+    for ld in loaders:
+        for _ in ld:
+            pass
+    for ld in loaders:
+        ld.dataset.shuffle()
+
+    # epoch 2: both hosts must derive the same permutation -> the strided
+    # shards still partition one epoch disjointly
+    o0, o1 = loaders[0]._order(), loaders[1]._order()
+    assert set(o0.tolist()).isdisjoint(set(o1.tolist()))
+    assert sorted(np.concatenate([o0, o1]).tolist()) == \
+        list(range(len(loaders[0].dataset)))

@@ -125,3 +125,47 @@ def test_sparse_refinement_matches_dense_fused():
         finally:
             del os.environ["NAVC_DENSE_REFINE"]
         np.testing.assert_array_equal(sparse, dense)
+
+
+def test_sparse_refinement_with_teacher_masking_decision():
+    """Sparse vs dense token identity with the AR teacher in the loop
+    (masking_decision=True gates select-worst by teacher probabilities every
+    step — algorithms.py:175-204)."""
+    import os
+
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding import make_nar_generator
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.ops.eligibility import fused_sparse_eligible
+
+    over = dict(
+        vocab_size=50, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
+        max_len=12, batch_size=2, length_beam_size=2, iterations=3,
+        compute_dtype="float32", use_pallas=True,
+    )
+    cfg = default_config("NACF", dataset="MSVD", use_ct=True,
+                         masking_decision=True, **over)
+    cfg = cfg.replace(teacher_path="", load_teacher_weights=False)
+    tcfg = default_config("ARB", dataset="MSVD", **over)
+    assert fused_sparse_eligible(cfg)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(2), cfg)
+    teacher = build_model(tcfg)
+    tvars = init_params(teacher, jax.random.PRNGKey(9), tcfg)
+
+    rng = np.random.RandomState(3)
+    feats = [jnp.asarray(rng.randn(2, cfg.n_frames, d).astype(np.float32))
+             for d in cfg.modality_dims]
+    enc = model.apply(variables, feats, method=lambda m, f: m.encode(f))
+    tenc = teacher.apply(tvars, feats, method=lambda m, f: m.encode(f))
+
+    sparse = np.asarray(make_nar_generator(cfg, model, teacher, jit=False)(
+        variables, enc, None, tvars, tenc, None))
+    os.environ["NAVC_DENSE_REFINE"] = "1"
+    try:
+        dense = np.asarray(make_nar_generator(cfg, model, teacher, jit=False)(
+            variables, enc, None, tvars, tenc, None))
+    finally:
+        del os.environ["NAVC_DENSE_REFINE"]
+    np.testing.assert_array_equal(sparse, dense)
