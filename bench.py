@@ -203,11 +203,17 @@ def main(batch_size: int = 2048, profile: bool = False):
     mfu = round(tflops / peak, 4) if peak else None
 
     baseline = read_baseline()
+    # zero-overhead fp32 compute bound for the reference on its published
+    # GPU class (2080Ti, 13.45 TFLOP/s; derivation in BASELINE.md) — the
+    # eager host-loop reference cannot actually reach this
+    gpu_bound = 13.45e12 / decode_flops_per_caption(
+        cfg.replace(use_pallas=False), n_enc)
     result = {
         "metric": metric_name(b),
         "value": round(captions_per_sec, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(captions_per_sec / baseline, 2) if baseline else None,
+        "vs_gpu_roofline": round(captions_per_sec / gpu_bound, 2),
         "tflops": round(tflops, 2),
         "mfu": mfu,
         "gflop_per_caption": round(flops_caption / 1e9, 2),
