@@ -10,6 +10,12 @@ cost: 5 mask-predict iterations x length-beam 6, +1 coarse-template pass,
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "captions/sec/chip", "vs_baseline": N,
      "tflops": N, "mfu": N, ...}
+("value" keeps the reference's sequential per-batch protocol;
+"pipelined_value" overlaps dispatch/transfer with compute like a serving
+frontend. Weights are random-init — NAR decode cost is weight-independent
+(same forwards/argmax work regardless of values); caption QUALITY parity is
+evidenced separately by PARITY_TRAINING.json + the token-exact
+cross-implementation tests.)
 
 A live run writes its result (timestamped) to BENCH_LIVE.json. If the
 accelerator is unreachable, the harness falls back to BENCH_LIVE.json ONLY if
@@ -193,6 +199,18 @@ def main(batch_size: int = 2048, profile: bool = False):
         jax.profiler.stop_trace()
     captions_per_sec = b * n_iters / dt
 
+    # secondary: pipelined serving throughput — issue every batch before
+    # syncing any result, so dispatch/transfer overlap device compute (a
+    # serving frontend runs this way; the primary metric keeps the
+    # reference's sequential per-batch protocol)
+    t0 = time.perf_counter()
+    outs = [gen(variables, enc, category, tvars, tenc, None)
+            for _ in range(n_iters)]
+    for o in outs:
+        np.asarray(o)
+    dt_pipe = time.perf_counter() - t0
+    pipelined_cps = b * n_iters / dt_pipe
+
     # FLOP accounting / MFU -------------------------------------------------
     n_enc = int(enc["enc_output"].shape[1])
     flops_caption = decode_flops_per_caption(cfg, n_enc)
@@ -214,6 +232,7 @@ def main(batch_size: int = 2048, profile: bool = False):
         "unit": "captions/sec/chip",
         "vs_baseline": round(captions_per_sec / baseline, 2) if baseline else None,
         "vs_gpu_roofline": round(captions_per_sec / gpu_bound, 2),
+        "pipelined_value": round(pipelined_cps, 2),
         "tflops": round(tflops, 2),
         "mfu": mfu,
         "gflop_per_caption": round(flops_caption / 1e9, 2),
