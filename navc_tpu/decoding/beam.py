@@ -182,7 +182,7 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
         h_t = (down + att) * npm
 
         logits = model.apply(variables, h_t, method=lambda m, hh: m.project(hh))
-        return jax.nn.log_softmax(logits, axis=-1), kcache, vcache
+        return logits, kcache, vcache
 
     return step
 
@@ -266,31 +266,63 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
 
         def step(state: BeamState, kc, vc, t):
             if use_cache:
-                wp_flat, kc, vc = cached_step(
+                # Candidate-only normalization: top-k per beam runs on RAW
+                # logits (log_softmax subtracts per-row scalars, so indices
+                # and tie order are identical), then only the k candidates
+                # get the exact log_softmax arithmetic ((x - max) - lse) —
+                # the (N, V) normalized tensor is never materialized and the
+                # big top-k shrinks from k*V to V lanes. The global top-k of
+                # beam*V always lies inside the per-beam top-k sets, with
+                # flattened tie order preserved (beam-major, vocab-ascending
+                # within a beam), so selection is token-identical.
+                logits, kc, vc = cached_step(
                     state.seqs.reshape(b * k, max_len), kc, vc, t)
-                wp = wp_flat.reshape(b, k, -1)
+                mrow = jnp.max(logits, axis=-1, keepdims=True)
+                lse = jnp.log(jnp.sum(jnp.exp(logits - mrow), axis=-1,
+                                      keepdims=True))
+                top_logit, top_idx = jax.lax.top_k(logits, k)
+                wp_top = ((top_logit - mrow) - lse).reshape(b, k, k)
+                ids_top = top_idx.astype(jnp.int32).reshape(b, k, k)
+
+                def first_step():
+                    return (wp_top[:, 0, :], jnp.zeros((b, k), jnp.int32),
+                            ids_top[:, 0, :])
+
+                def later_step():
+                    last = jnp.take_along_axis(
+                        state.seqs,
+                        jnp.full((b, k, 1), 1, jnp.int32) * (t - 1),
+                        axis=2)[..., 0]
+                    cand = wp_top + state.scores[:, :, None]
+                    cand = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, cand)
+                    best_scores, best_flat = jax.lax.top_k(
+                        cand.reshape(b, k * k), k)
+                    prev_k = (best_flat // k).astype(jnp.int32)
+                    next_word = jnp.take_along_axis(
+                        ids_top.reshape(b, k * k), best_flat, axis=1)
+                    return best_scores, prev_k, next_word
             else:
                 wp = decode_step(variables, state.seqs.reshape(b * k, max_len),
                                  enc_tiled, cat_tiled, t).reshape(b, k, -1)
-            v = wp.shape[-1]
+                v = wp.shape[-1]
 
-            # --- advance (Beam.py:68-117) ---------------------------------
-            def first_step():
-                flat = wp[:, 0, :]
-                best_scores, best_ids = jax.lax.top_k(flat, k)
-                prev_k = jnp.zeros((b, k), jnp.int32)
-                next_word = best_ids.astype(jnp.int32)
-                return best_scores, prev_k, next_word
+                # --- advance (Beam.py:68-117) -----------------------------
+                def first_step():
+                    flat = wp[:, 0, :]
+                    best_scores, best_ids = jax.lax.top_k(flat, k)
+                    prev_k = jnp.zeros((b, k), jnp.int32)
+                    next_word = best_ids.astype(jnp.int32)
+                    return best_scores, prev_k, next_word
 
-            def later_step():
-                last = jnp.take_along_axis(
-                    state.seqs, jnp.full((b, k, 1), 1, jnp.int32) * (t - 1), axis=2)[..., 0]
-                beam_lk = wp + state.scores[:, :, None]
-                beam_lk = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, beam_lk)
-                best_scores, best_ids = jax.lax.top_k(beam_lk.reshape(b, k * v), k)
-                prev_k = (best_ids // v).astype(jnp.int32)
-                next_word = (best_ids - prev_k * v).astype(jnp.int32)
-                return best_scores, prev_k, next_word
+                def later_step():
+                    last = jnp.take_along_axis(
+                        state.seqs, jnp.full((b, k, 1), 1, jnp.int32) * (t - 1), axis=2)[..., 0]
+                    beam_lk = wp + state.scores[:, :, None]
+                    beam_lk = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, beam_lk)
+                    best_scores, best_ids = jax.lax.top_k(beam_lk.reshape(b, k * v), k)
+                    prev_k = (best_ids // v).astype(jnp.int32)
+                    next_word = (best_ids - prev_k * v).astype(jnp.int32)
+                    return best_scores, prev_k, next_word
 
             best_scores, prev_k, next_word = jax.lax.cond(t == 1, first_step, later_step)
 
