@@ -39,6 +39,13 @@ def main():
         encoder_dropout=0.0, compute_dtype="float32", beam_size=2,
         save_checkpoint_every=1, no_test=True,
         base_checkpoint_path=workdir)
+    tp = method.endswith("_TP")
+    if tp:
+        method = method[:-3]
+        # data=2 x model=2 over 4 global devices: TP params are sharded on
+        # devices this host cannot address, so the eval-time param gather
+        # must run as a collective on every host
+        over["mesh_shape"] = {"data": 2, "model": 2}
     cfg = default_config(method, dataset="MSVD", **over)
     corpus, refs, feats = make_learnable_synthetic(cfg, n_videos=16, n_classes=4)
 

@@ -227,3 +227,35 @@ def test_epoch_permutations_stay_lockstep_across_hosts():
     assert set(o0.tolist()).isdisjoint(set(o1.tolist()))
     assert sorted(np.concatenate([o0, o1]).tolist()) == \
         list(range(len(loaders[0].dataset)))
+
+
+def test_multihost_tensor_parallel_eval_gather():
+    """data=2 x model=2 mesh: TP-sharded params are not fully addressable on
+    any single host, so the eval-time gather must run as a collective on
+    every process (regression for the primary-only deadlock)."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="navc_mhtp_")
+    try:
+        port = _free_port()
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_loop_worker.py"),
+             str(i), "2", str(port), workdir, "ARB_TP"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+            for i in range(2)]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, "worker failed:\n%s\n%s" % (out, err)
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        outs.sort(key=lambda o: o["process"])
+        r0, r1 = outs
+        np.testing.assert_allclose(r0["train_curve"], r1["train_curve"],
+                                   rtol=1e-6)
+        assert r0["n_eval"] == 2 and all(np.isfinite(c) for c in r0["ciders"])
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
