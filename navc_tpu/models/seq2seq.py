@@ -167,8 +167,17 @@ class Seq2Seq(nn.Module):
     def __call__(self, feats: Sequence[jnp.ndarray],
                  tgt_tokens: Union[jnp.ndarray, Sequence[jnp.ndarray]],
                  category: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> Dict[str, Any]:
-        """Training/teacher-forcing forward (reference seq2seq.py:82-140)."""
+                 deterministic: bool = True,
+                 return_logits: bool = False) -> Dict[str, Any]:
+        """Training/teacher-forcing forward (reference seq2seq.py:82-140).
+
+        ``return_logits=True`` emits raw projection logits under
+        ``tgt_word_logits`` instead of materializing the (B, L, V)
+        log-softmax — the training loss then normalizes only at the label
+        positions (runtime.crit), saving the dominant HBM traffic of the
+        train step. Values are float-identical: log_softmax(x)[y] ==
+        (x[y] - max(x)) - log(sum(exp(x - max(x)))) in the same op order.
+        """
         cfg = self.cfg
         results = self.encode(feats, deterministic=deterministic)
 
@@ -189,9 +198,14 @@ class Seq2Seq(nn.Module):
             hidden, _, _ = self.decode(
                 tokens, results["enc_output"], category,
                 decoding_type=cfg.decoding_type, deterministic=deterministic)
-            logprob_sets.append(jax.nn.log_softmax(self.project(hidden), axis=-1))
+            logits = self.project(hidden)
+            logprob_sets.append(
+                logits if return_logits else jax.nn.log_softmax(logits, axis=-1))
 
-        results["tgt_word_logprobs"] = logprob_sets
+        if return_logits:
+            results["tgt_word_logits"] = logprob_sets
+        else:
+            results["tgt_word_logprobs"] = logprob_sets
         return results
 
 

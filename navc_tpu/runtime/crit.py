@@ -100,7 +100,15 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
     metrics: Dict[str, jnp.ndarray] = {}
     vwg = cfg.visual_word_generation
 
-    logprob_sets: Sequence[jnp.ndarray] = results["tgt_word_logprobs"]
+    # The train forward may hand over RAW logits ('tgt_word_logits',
+    # seq2seq return_logits=True): normalize only at the gathered label
+    # positions instead of materializing the (B, L, V) log-softmax — the
+    # arithmetic matches jax.nn.log_softmax exactly ((x - max) - lse, same
+    # op order), and argmax is invariant to the per-row shift.
+    from_logits = "tgt_word_logits" in results
+    logprob_sets: Sequence[jnp.ndarray] = (
+        results["tgt_word_logits"] if from_logits
+        else results["tgt_word_logprobs"])
     label_sets: Sequence[jnp.ndarray] = results["tgt_word_labels"]
     if not isinstance(logprob_sets, (list, tuple)):
         logprob_sets = [logprob_sets]
@@ -117,15 +125,30 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
     total = jnp.zeros((), jnp.float32)
     lang_loss = jnp.zeros((), jnp.float32)
     for i, (w, lp, lab) in enumerate(zip(weights, logprob_sets, label_sets)):
-        lang_loss = lang_loss + w * nll_language_loss(lp, lab, valid_mask) / batch_denom
-        acc_c, acc_n = word_accuracy(lp, lab, exclude_mask_token=(i == 0 and vwg),
-                                     valid_mask=valid_mask)
-        metrics["word_acc%d_correct" % i] = acc_c
-        metrics["word_acc%d_count" % i] = acc_n
+        if from_logits:
+            m = jnp.max(lp, axis=-1, keepdims=True)
+            lse = jnp.log(jnp.sum(jnp.exp(lp - m), axis=-1))
+            gathered = (jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]
+                        - m[..., 0]) - lse
+        else:
+            gathered = jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]
+        nonpad = (lab != C.PAD).astype(jnp.float32)
+        mask = nonpad if valid_mask is None else nonpad * valid_mask[:, None]
+        nll = -(gathered * mask).sum()
+        lang_loss = lang_loss + w * nll / batch_denom
+
+        ind = lab != C.PAD
+        if i == 0 and vwg:
+            ind = ind & (lab != C.MASK)
+        if valid_mask is not None:
+            ind = ind & (valid_mask[:, None] > 0)
+        pred = jnp.argmax(lp, axis=-1)
+        metrics["word_acc%d_correct" % i] = \
+            ((pred == lab) & ind).sum().astype(jnp.float32)
+        metrics["word_acc%d_count" % i] = ind.sum().astype(jnp.float32)
         if not (i == 0 and vwg):
-            ppl_sum, ppl_n = perplexity_stats(lp, lab, valid_mask)
-            metrics["ppl_sum"] = ppl_sum
-            metrics["ppl_count"] = ppl_n
+            metrics["ppl_sum"] = -(gathered * mask).sum()
+            metrics["ppl_count"] = mask.sum()
 
     scales = {name.lower(): s for name, s in zip(cfg.crit, cfg.crit_scale)}
     metrics["lang_loss"] = lang_loss

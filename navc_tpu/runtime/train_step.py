@@ -59,8 +59,11 @@ def _forward_results(cfg: Config, model: Seq2Seq, variables, batch: Dict,
     if mutable:
         kwargs["mutable"] = ["batch_stats"]
 
+    # raw logits: the loss normalizes only at label positions (runtime.crit),
+    # skipping the (B, L, V) log-softmax materialization — float-identical
     out = model.apply(variables, feats, tgt, category,
-                      deterministic=deterministic, **kwargs)
+                      deterministic=deterministic, return_logits=True,
+                      **kwargs)
     if mutable:
         results, updates = out
         new_batch_stats = updates.get("batch_stats", {})

@@ -316,3 +316,40 @@ def test_nar_dedup_gated_by_duplicate_flag():
     assert cfg.duplicate is False
     src = inspect.getsource(ev.run_eval)
     assert "cfg.duplicate and" in src
+
+
+def test_compute_losses_from_logits_is_float_identical():
+    """The train path hands raw logits to compute_losses (seq2seq
+    return_logits=True); every loss/metric must equal the materialized
+    log_softmax path bit-for-bit ((x-max)-lse is the same op order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from navc_tpu.config import default_config
+    from navc_tpu.runtime.crit import compute_losses
+
+    rng = np.random.RandomState(0)
+    b, l, v = 6, 9, 37
+    cfg = default_config("NACF", dataset="MSVD", vocab_size=v, use_ct=True)
+    cfg = cfg.replace(teacher_path="", load_teacher_weights=False,
+                      with_teacher=False)
+    logits = [jnp.asarray(rng.randn(b, l, v).astype(np.float32) * 3)
+              for _ in range(2)]
+    labels = [jnp.asarray(rng.randint(0, v, (b, l)), jnp.int32)
+              for _ in range(2)]
+    lt = jnp.asarray(np.abs(rng.rand(b, cfg.max_len)).astype(np.float32))
+    lt = lt / lt.sum(-1, keepdims=True)
+    pl = jax.nn.log_softmax(jnp.asarray(rng.randn(b, cfg.max_len),
+                                        jnp.float32))
+    vm = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+
+    base = {"tgt_word_labels": labels, "pred_length": pl, "tgt_length": lt}
+    t_probs, m_probs = compute_losses(
+        cfg, dict(base, tgt_word_logprobs=[jax.nn.log_softmax(x, axis=-1)
+                                           for x in logits]), vm)
+    t_logit, m_logit = compute_losses(
+        cfg, dict(base, tgt_word_logits=logits), vm)
+    assert float(t_probs) == float(t_logit)
+    for k in m_probs:
+        np.testing.assert_array_equal(np.asarray(m_probs[k]),
+                                      np.asarray(m_logit[k]), err_msg=k)
