@@ -344,7 +344,7 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         # L. Unrolled (T <= 6 is static) so every step gets its own static
         # query width. Numerics identical to the dense scan path (the qsub
         # kernel is row-bit-identical; schedule math unchanged).
-        import math as _math
+        import numpy as _np
         L = tokens.shape[1]
         rows = jnp.arange(tokens.shape[0])[:, None]
         for c in range(1, T):
@@ -357,9 +357,16 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
                 continue
             mask_ind = select_worst_set(tokens, token_probs, ratio)
             masked = jnp.where(mask_ind, C.MASK, tokens)
-            # static per-step query bound: num_mask <= floor(L * ratio);
-            # rounded up to 8 so the qsub kernel's q-padding is a no-op
-            k_bound = min(L, -(-max(1, int(_math.floor(L * (1.0 - c / T)))) // 8) * 8)
+            # static per-step query bound: num_mask <= int(f32(L) * f32(ratio)),
+            # rounded up to 8 so the qsub kernel's q-padding is a no-op.
+            # MUST use the same f32 arithmetic as the device num_mask above
+            # (f32 rounding can land one above the f64 floor at exact-integer
+            # boundaries, e.g. f32(45)*f32(0.2) = 9.0 vs floor64 8 — a bound
+            # computed in f64 would strand the 9th re-masked slot as a literal
+            # <mask> in the output); f32 multiply is monotone in L, so the
+            # bound at canvas width L covers every row length <= L.
+            k_f32 = int(_np.float32(L) * _np.float32(1.0 - c / T))
+            k_bound = min(L, -(-max(1, k_f32) // 8) * 8)
             order = jnp.argsort((~mask_ind).astype(jnp.int32), axis=1,
                                 stable=True)  # masked slots first, in order
             q_idx = order[:, :k_bound]

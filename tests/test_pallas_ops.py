@@ -169,3 +169,61 @@ def test_sparse_refinement_with_teacher_masking_decision():
     finally:
         del os.environ["NAVC_DENSE_REFINE"]
     np.testing.assert_array_equal(sparse, dense)
+
+
+def test_sparse_query_bound_covers_f32_mask_count():
+    """The device re-mask count is computed in f32 (torch python-float ->
+    f32-tensor promotion, algorithms.py:255-257); at exact-integer boundaries
+    f32 rounds one ABOVE the f64 floor: f32(45)*f32(0.2) = 9.0 while
+    floor64(45*(1-4/5)) = 8. The sparse path's static query bound must use
+    the same f32 arithmetic, or the 9th re-masked slot is never re-predicted
+    and the output silently keeps a literal <mask> (advisor round-2 finding).
+    Exercised at length == canvas width (the generator clips lengths to
+    max_len-1, but the algorithm contract must hold at the bound)."""
+    import math
+    import os
+
+    from navc_tpu import constants as C
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding.mask_predict import (NARContext, _mask_predict,
+                                                _predict_fn)
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.ops.eligibility import fused_sparse_eligible
+
+    L, T = 45, 5
+    # precondition: this (L, T) pair actually triggers the f32/f64 split
+    assert int(np.float32(L) * np.float32(1.0 - 4 / T)) == 9
+    assert math.floor(L * (1.0 - 4 / T)) == 8
+
+    cfg = default_config(
+        "NAB", dataset="MSVD", vocab_size=50, dim_hidden=16,
+        num_attention_heads=2, intermediate_size=32, n_frames=4, dim_i=12,
+        dim_m=10, modality="mi", max_len=L, batch_size=2, length_beam_size=1,
+        iterations=T, compute_dtype="float32", use_pallas=True)
+    cfg = cfg.replace(teacher_path="", with_teacher=False,
+                      load_teacher_weights=False)
+    assert fused_sparse_eligible(cfg)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    feats = [jnp.asarray(np.random.RandomState(1).randn(2, cfg.n_frames, d)
+                         .astype(np.float32)) for d in cfg.modality_dims]
+    enc = model.apply(variables, feats, method=lambda m, f: m.encode(f))
+
+    tokens = jnp.full((2, L), C.MASK, jnp.int32)
+    pad_mask = jnp.zeros((2, L), bool)
+    lengths = jnp.full((2,), L, jnp.int32)
+    ctx = NARContext(enc["enc_output"], None, None, None, None)
+
+    predict = _predict_fn(model, variables, ctx, cfg, canvas_len=L)
+    assert getattr(predict, "predict_sub", None) is not None
+    sparse, _ = _mask_predict(predict, None, tokens, pad_mask, lengths, cfg)
+
+    os.environ["NAVC_DENSE_REFINE"] = "1"
+    try:
+        predict_d = _predict_fn(model, variables, ctx, cfg, canvas_len=L)
+        assert getattr(predict_d, "predict_sub", None) is None
+        dense, _ = _mask_predict(predict_d, None, tokens, pad_mask, lengths, cfg)
+    finally:
+        del os.environ["NAVC_DENSE_REFINE"]
+
+    np.testing.assert_array_equal(np.asarray(sparse), np.asarray(dense))
