@@ -85,9 +85,12 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
     token t-1, appended to the cache; self-attention reads the cached keys
     with the same -10e6 masking, so every float op matches the full-prefix
     forward at position t-1 exactly (same per-row dots, same softmax
-    denominator — masked keys underflow to exactly 0 in f32). Cross-attention
-    K/V over enc_output are position-invariant and computed ONCE per decode
-    instead of per forward. Per-step layer FLOPs drop from O(L·d²) to O(d²).
+    denominator — masked keys underflow to exactly 0 in f32). In bfloat16
+    mode ``dense`` mirrors flax ``nn.Dense(dtype=bf16)`` op-for-op (bf16
+    product, bf16 bias add, then the call sites' f32 cast), so the A/B
+    parity test covers both compute dtypes. Cross-attention K/V over
+    enc_output are position-invariant and computed ONCE per decode instead
+    of per forward. Per-step layer FLOPs drop from O(L·d²) to O(d²).
     """
     from ..models.layers import ACT2FN, MASK_FILL
     from ..ops.fused_layer import layer_weights_from_params
@@ -111,8 +114,12 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
     def dense(x, kernel, bias):
         if f32:
             return jnp.dot(x, kernel) + bias
-        return jnp.dot(x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32) + bias
+        # flax nn.Dense(dtype=bf16) promotes (input, kernel, bias) to bf16,
+        # emits a bf16-output dot and adds the bias in bf16; replicate that
+        # exactly (the model's call sites cast back to f32 afterwards, which
+        # is lossless) so cached and full-prefix logits stay bit-identical
+        out = jnp.dot(x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16))
+        return (out + bias.astype(jnp.bfloat16)).astype(jnp.float32)
 
     def layernorm(x):
         # flax nn.LayerNorm fast-variance arithmetic, replicated exactly

@@ -282,9 +282,13 @@ def test_mask_predict_parity_sweep(seed, lbs, iters, use_ct):
     np.testing.assert_array_equal(np.asarray(best), ref_best)
 
 
-def test_kv_cached_beam_matches_full_recompute():
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_kv_cached_beam_matches_full_recompute(compute_dtype):
     """The KV-cached incremental beam step must be token-identical to the
-    full-prefix recompute path (NAVC_NO_KVCACHE kill-switch)."""
+    full-prefix recompute path (NAVC_NO_KVCACHE kill-switch) — in BOTH
+    compute dtypes: the cached step's dense() replicates flax
+    nn.Dense(dtype=bf16) op-for-op (bf16 product + bf16 bias add), so the
+    production bf16 path is covered too (advisor round-2 finding)."""
     import os
 
     import jax
@@ -300,7 +304,7 @@ def test_kv_cached_beam_matches_full_recompute():
         vocab_size=60, dim_hidden=16, num_attention_heads=2,
         intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
         max_len=10, batch_size=3, beam_size=3, beam_alpha=1.15,
-        with_category=True, compute_dtype="float32")
+        with_category=True, compute_dtype=compute_dtype)
     assert kv_cached_beam_eligible(cfg)
     model = build_model(cfg)
     variables = init_params(model, jax.random.PRNGKey(5), cfg)
