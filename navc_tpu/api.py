@@ -70,7 +70,7 @@ class CaptionPipeline:
         batch["category"] = (np.asarray(category, np.int32).reshape(b, 1)
                              if category is not None
                              else np.zeros((b, 1), np.int32))
-        hyp, _, _, _ = self.evaluator.decode_batch(
+        hyp, _, _, _, _ = self.evaluator.decode_batch(
             self.variables, batch,
             teacher_variables=self.teacher_variables)
         return np.asarray(hyp)

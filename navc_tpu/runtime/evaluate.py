@@ -48,6 +48,13 @@ class Evaluator:
             self.generate = make_ar_generator(cfg, model)
 
     def decode_batch(self, variables, batch, teacher_variables=None):
+        """Returns (hyp, scores, enc, collected, gen_time).
+
+        ``gen_time`` times ONLY the generate call plus its host sync — the
+        reference latency protocol times translate_batch with both the model
+        and teacher encode forwards outside the timed region
+        (misc/run.py:130-143); ``hyp`` comes back as a host numpy array.
+        """
         feats = [jnp.asarray(batch["feats_%s" % ch]) for ch in self.cfg.modality.lower()]
         category = jnp.asarray(batch["category"]) if self.cfg.with_category else None
         enc = self.encode(variables["params"], variables.get("batch_stats", {}), feats)
@@ -58,6 +65,7 @@ class Evaluator:
                 tenc = self.teacher_encode(
                     teacher_variables["params"],
                     teacher_variables.get("batch_stats", {}), feats)
+            t0 = time.perf_counter()
             out = self.generate(variables, enc, category,
                                 teacher_variables, tenc, self.dict_mapping)
             if self.collect:
@@ -66,8 +74,14 @@ class Evaluator:
                 hyp = out
             scores = None
         else:
+            t0 = time.perf_counter()
             hyp, scores = self.generate(variables, enc, category)
-        return hyp, scores, enc, collected
+        # np.asarray forces execution + transfer (block_until_ready is not
+        # reliable on the tunnel transport) — the sync must sit inside the
+        # timed region or async dispatch would make gen_time meaningless
+        hyp = np.asarray(jax.device_get(hyp))
+        gen_time = time.perf_counter() - t0
+        return hyp, scores, enc, collected, gen_time
 
 
 def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
@@ -88,11 +102,9 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
     length_loss_sum, length_loss_n = 0.0, 0
 
     for batch in loader:
-        t0 = time.time()
-        hyp, hyp_scores, enc, collected = evaluator.decode_batch(
+        hyp, hyp_scores, enc, collected, gen_time = evaluator.decode_batch(
             variables, batch, teacher_variables)
-        hyp = np.asarray(jax.device_get(hyp))
-        all_time += time.time() - t0
+        all_time += gen_time
         n_batches += 1
 
         if collected is not None:
@@ -145,9 +157,9 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
 
     res: Dict[str, Any] = {}
     if cfg.batch_size == 1 and n_batches:
-        # NOTE: includes the encode forward; the reference's -latency excludes
-        # it (misc/run.py:130 vs 139-143). scripts/latency.py reproduces the
-        # exact reference protocol (encode outside the timed region).
+        # mean wall-clock of the generate call only, encode forwards outside
+        # the timed region — the exact reference -latency protocol
+        # (misc/run.py:130 vs 139-143); scripts/latency.py agrees
         res["latency"] = all_time / n_batches
 
     if analyze:
