@@ -39,10 +39,12 @@ Data files the jar bundles are pluggable here:
     ``word<TAB>syn1 syn2 ...`` files; default = no synonym stage.
   * function words: a vendored standard English function-word list
     (the jar derives its list from corpus frequency; documented equivalent).
-  * paraphrases: word-level equivalence pairs via
-    ``load_paraphrases_tsv(path)``; the jar's phrase-level table requires its
-    data file and is out of scope (weights preserved so a loaded table slots
-    in at the right priority).
+  * paraphrases: phrase-level (multi-word span) equivalence pairs via
+    ``load_paraphrases_tsv(path)`` — the jar's paraphrase-en table format;
+    the aligner matches whole spans one-to-one at the word level, counting
+    (|h-span| + |r-span|) / 2 matches per phrase (Meteor's averaged
+    coverage). The jar's actual table data file is absent from the checkout
+    (.MISSING_LARGE_BLOBS), so the default scorer runs without it.
 """
 
 from __future__ import annotations
@@ -133,16 +135,21 @@ def load_synonyms_tsv(path: str) -> Dict[str, Set[str]]:
     return table
 
 
-def load_paraphrases_tsv(path: str) -> Set[Tuple[str, str]]:
-    """Word-level paraphrase pairs, one ``a<TAB>b`` per line (symmetric)."""
-    pairs: Set[Tuple[str, str]] = set()
+def load_paraphrases_tsv(path: str) -> Dict[Tuple[str, ...], Set[Tuple[str, ...]]]:
+    """Paraphrase pairs, one ``a<TAB>b`` per line (symmetric); each side may
+    be a multi-word phrase (space-separated) — the meteor-1.5 jar's
+    paraphrase-en table format (phrase-level, meteor.py:18-26)."""
+    table: Dict[Tuple[str, ...], Set[Tuple[str, ...]]] = {}
     with open(path) as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
             if len(parts) == 2:
-                pairs.add((parts[0], parts[1]))
-                pairs.add((parts[1], parts[0]))
-    return pairs
+                a = tuple(parts[0].split())
+                b = tuple(parts[1].split())
+                if a and b:
+                    table.setdefault(a, set()).add(b)
+                    table.setdefault(b, set()).add(a)
+    return table
 
 
 # ---------------------------------------------------------------------------
@@ -153,19 +160,37 @@ def load_paraphrases_tsv(path: str) -> Set[Tuple[str, str]]:
 class Meteor15:
     def __init__(self,
                  synonyms: Optional[Dict[str, Set[str]]] = None,
-                 paraphrases: Optional[Set[Tuple[str, str]]] = None,
+                 paraphrases=None,
                  function_words: Optional[Set[str]] = None,
                  alpha: float = ALPHA, beta: float = BETA,
                  gamma: float = GAMMA, delta: float = DELTA,
                  weights: Sequence[float] = STAGE_WEIGHTS,
-                 beam: int = BEAM):
+                 beam: int = BEAM,
+                 identity_rule: bool = True):
         self.synonyms = synonyms
-        self.paraphrases = paraphrases or set()
+        # normalize paraphrases: accept a set of word pairs (legacy) or the
+        # phrase table from load_paraphrases_tsv; split into a word-pair set
+        # (fast path in _match_weight) and a phrase-span table for the aligner
+        self.para_words: Set[Tuple[str, str]] = set()
+        self.para_phrases: Dict[Tuple[str, ...], Set[Tuple[str, ...]]] = {}
+        self.max_phrase_len = 1
+        if isinstance(paraphrases, dict):
+            for a, targets in paraphrases.items():
+                for b in targets:
+                    if len(a) == 1 and len(b) == 1:
+                        self.para_words.add((a[0], b[0]))
+                    else:
+                        self.para_phrases.setdefault(a, set()).add(b)
+                        self.max_phrase_len = max(self.max_phrase_len,
+                                                  len(a), len(b))
+        elif paraphrases:
+            self.para_words = set(paraphrases)
         self.function_words = (FUNCTION_WORDS if function_words is None
                                else function_words)
         self.alpha, self.beta, self.gamma, self.delta = alpha, beta, gamma, delta
         self.weights = tuple(weights)
         self.beam = beam
+        self.identity_rule = identity_rule
 
     # -- stages -------------------------------------------------------------
     def _match_weight(self, h: str, hs: str, r: str, rs: str) -> Optional[float]:
@@ -180,86 +205,127 @@ class Meteor15:
             if r in syn_h or (syn_h and syn_h & (self.synonyms.get(r) or set())):
                 w = self.weights[2]
                 best = w if best is None or w > best else best
-        if self.paraphrases and (h, r) in self.paraphrases:
+        if self.para_words and (h, r) in self.para_words:
             w = self.weights[3]
             best = w if best is None or w > best else best
         return best
 
+    def _phrase_candidates(self, hyp: List[str], ref: List[str]
+                           ) -> Dict[int, List[Tuple[int, int, int, float]]]:
+        """Phrase-span paraphrase matches: hi -> [(lh, rj, lr, w)].
+
+        A hypothesis span hyp[hi:hi+lh] matches every occurrence of a
+        table-paraphrase ref span ref[rj:rj+lr] (meteor-1.5's phrase-level
+        paraphrase stage; the stage weight applies per covered word).
+        """
+        out: Dict[int, List[Tuple[int, int, int, float]]] = {}
+        if not self.para_phrases:
+            return out
+        w = self.weights[3]
+        pmax = self.max_phrase_len
+        for hi in range(len(hyp)):
+            for lh in range(1, min(pmax, len(hyp) - hi) + 1):
+                targets = self.para_phrases.get(tuple(hyp[hi:hi + lh]))
+                if not targets:
+                    continue
+                for tgt in targets:
+                    lr = len(tgt)
+                    for rj in range(len(ref) - lr + 1):
+                        if tuple(ref[rj:rj + lr]) == tgt:
+                            out.setdefault(hi, []).append((lh, rj, lr, w))
+        return out
+
     # -- alignment ----------------------------------------------------------
     def _align(self, hyp: List[str], ref: List[str]
-               ) -> Tuple[int, int, float, List[Tuple[int, int, float]]]:
+               ) -> Tuple[float, int, float, List[Tuple[int, int, int, int, float]]]:
         """Beam search for (matches, chunks, weight, pairs).
 
         Objective order: max matches, min chunks, max weight — the Meteor
-        aligner's resolution criteria.
+        aligner's resolution criteria. Matches are one-to-one at the WORD
+        level on both sides; a phrase match covers a (lh, lr) span pair and
+        counts (lh + lr) / 2 matches (Meteor's averaged coverage — reduces
+        to 1 for word matches). ``pairs`` entries are
+        (h_start, h_len, r_start, r_len, stage_weight).
         """
         hs = [_porter(w) for w in hyp]
         rs = [_porter(w) for w in ref]
-        cand: List[List[Tuple[int, float]]] = []
+        cand: List[List[Tuple[int, int, int, float]]] = []
         for i, h in enumerate(hyp):
             row = []
             for j, r in enumerate(ref):
                 w = self._match_weight(h, hs[i], r, rs[j])
                 if w is not None:
-                    row.append((j, w))
+                    row.append((1, j, 1, w))
             cand.append(row)
+        for hi, phrases in self._phrase_candidates(hyp, ref).items():
+            cand[hi].extend(phrases)
 
-        # state: (used_ref frozenset, prev (hi, ri) or None,
-        #         matches, chunks, weight, pairs)
-        states = [(frozenset(), None, 0, 0, 0.0, ())]
+        # state: (used_ref frozenset, prev (h_end, r_end) or None,
+        #         next_free_h, matches, chunks, weight, pairs)
+        states = [(frozenset(), None, 0, 0.0, 0, 0.0, ())]
         for hi in range(len(hyp)):
             nxt = {}
-            for used, prev, m, ch, wt, pairs in states:
-                key = (used, prev if prev and prev[0] == hi - 1 else None)
+            for st in states:
+                used, prev, free, m, ch, wt, pairs = st
+                # contiguity only survives if the previous match ended at hi-1
+                key = (used, prev if prev and prev[0] == hi - 1 else None,
+                       max(free, hi))
                 cur = nxt.get(key)
-                if cur is None or (m, -ch, wt) > (cur[2], -cur[3], cur[4]):
-                    nxt[key] = (used, prev, m, ch, wt, pairs)
+                if cur is None or (m, -ch, wt) > (cur[3], -cur[4], cur[5]):
+                    nxt[key] = st
             states = list(nxt.values())
 
             out = []
-            for used, prev, m, ch, wt, pairs in states:
-                out.append((used, prev, m, ch, wt, pairs))  # skip hi
-                for (rj, w) in cand[hi]:
-                    if rj in used:
+            for st in states:
+                used, prev, free, m, ch, wt, pairs = st
+                out.append(st)  # skip hi
+                if free > hi:   # hi already covered by an earlier phrase
+                    continue
+                for (lh, rj, lr, w) in cand[hi]:
+                    span = frozenset(range(rj, rj + lr))
+                    if used & span:
                         continue
                     contiguous = (prev is not None and prev[0] == hi - 1
                                   and prev[1] == rj - 1)
-                    out.append((used | {rj}, (hi, rj), m + 1,
-                                ch + (0 if contiguous else 1), wt + w,
-                                pairs + ((hi, rj, w),)))
-            out.sort(key=lambda s: (s[2], -s[3], s[4]), reverse=True)
+                    out.append((used | span, (hi + lh - 1, rj + lr - 1),
+                                hi + lh, m + (lh + lr) / 2.0,
+                                ch + (0 if contiguous else 1),
+                                wt + w * (lh + lr) / 2.0,
+                                pairs + ((hi, lh, rj, lr, w),)))
+            out.sort(key=lambda s: (s[3], -s[4], s[5]), reverse=True)
             states = out[:self.beam]
 
-        best = max(states, key=lambda s: (s[2], -s[3], s[4]))
-        return best[2], best[3], best[4], list(best[5])
+        best = max(states, key=lambda s: (s[3], -s[4], s[5]))
+        return best[3], best[4], best[5], list(best[6])
 
     # -- segment stats ------------------------------------------------------
     def _segment_stats(self, hyp: List[str], ref: List[str]):
         m, chunks, _, pairs = self._align(hyp, ref)
         # Meteor identity rule: one chunk spanning both strings entirely
         # counts as zero chunks (exact match scores 1.0)
-        if chunks == 1 and m == len(hyp) == len(ref):
+        if self.identity_rule and chunks == 1 and m == len(hyp) == len(ref):
             chunks = 0
 
         d = self.delta
         fw = self.function_words
 
-        def side(words: List[str], widx: int):
+        def side(words: List[str], start_idx: int, len_idx: int):
             wc = wf = 0.0
             for pair in pairs:
-                i, w = pair[widx], pair[2]
-                if words[i] in fw:
-                    wf += w
-                else:
-                    wc += w
+                start, length, w = pair[start_idx], pair[len_idx], pair[4]
+                for i in range(start, start + length):
+                    if words[i] in fw:
+                        wf += w
+                    else:
+                        wc += w
             nc = sum(1 for w in words if w not in fw)
             nf = len(words) - nc
             num = d * wc + (1 - d) * wf
             den = d * nc + (1 - d) * nf
             return num, den
 
-        p_num, p_den = side(hyp, 0)
-        r_num, r_den = side(ref, 1)
+        p_num, p_den = side(hyp, 0, 1)
+        r_num, r_den = side(ref, 2, 3)
         return dict(m=m, chunks=chunks, p_num=p_num, p_den=p_den,
                     r_num=r_num, r_den=r_den)
 

@@ -188,3 +188,89 @@ def test_meteor15_multi_reference_best_wins():
 def test_meteor15_empty_hypothesis():
     s = m15()
     assert s.sentence("", ["a dog"]) == 0.0
+
+
+def test_meteor15_phrase_paraphrase_golden():
+    # phrase table: "soccer" <-> "association football" (1 <-> 2 words).
+    # hyp  "the players play soccer outside" (5 words)
+    # ref  "the players play association football outside" (6 words)
+    # word matches the/players/play/outside at w=1.0; phrase match covers
+    # soccer <-> association+football at w=0.6, counting (1+2)/2 = 1.5
+    # matches. All spans align in order -> ONE chunk; m = 5.5, frag = 1/5.5.
+    # P: wc = 1+1+0.6+1 = 3.6, wf = 1 (the); num = .75*3.6+.25 = 2.95,
+    #    den = .75*4+.25 = 3.25 -> P = 0.907692
+    # R: wc = 1+1+0.6+0.6+1 = 4.2, wf = 1; num = 3.4, den = 4.0 -> R = 0.85
+    # Fmean = PR/(.85P+.15R) = 0.858181; pen = 0.6*(1/5.5)**0.2 = 0.426659
+    # score = 0.858181 * 0.573341 = 0.492032
+    from navc_tpu.metrics.meteor15 import load_paraphrases_tsv
+    import tempfile, os as _os
+    with tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False) as f:
+        f.write("soccer\tassociation football\n")
+        path = f.name
+    try:
+        table = load_paraphrases_tsv(path)
+    finally:
+        _os.unlink(path)
+    s = m15(paraphrases=table)
+    got = s.sentence("the players play soccer outside",
+                     ["the players play association football outside"])
+    assert abs(got - 0.492032) < 1e-4, got
+    # without the table the phrase words cannot match: 4 matches, 2 chunks
+    plain = m15()
+    assert plain.sentence("the players play soccer outside",
+                          ["the players play association football outside"]) < got
+
+
+def test_meteor15_phrase_one_to_one_coverage():
+    # a ref span consumed by a phrase match cannot be re-matched: table maps
+    # "big" <-> "large huge"; ref has ONE "large huge" span but hyp says
+    # "big big" -> only one phrase match may apply (one-to-one at the word
+    # level, meteor-1.5 aligner rule)
+    table = {("big",): {("large", "huge")}, ("large", "huge"): {("big",)}}
+    s = m15(paraphrases=table)
+    m, chunks, _, pairs = s._align("big big".split(), "large huge".split())
+    assert len(pairs) == 1
+    assert m == 1.5
+
+
+def test_meteor15_against_nltk_external_oracle():
+    """External validation: nltk's independently-implemented METEOR
+    (Banerjee & Lavie 2005 scoring: alpha=0.9, beta=3, gamma=0.5, uniform
+    stage weights, no content/function weighting) must agree with this
+    aligner+scorer parameterized to that model. delta=0.5 makes the
+    content/function split a no-op; identity_rule off (nltk penalizes even
+    exact matches); examples use within-sentence-unique words so any
+    correct aligner produces the identical match set and chunk count."""
+    import pytest as _pytest
+    try:
+        from nltk.stem.porter import PorterStemmer
+        from nltk.translate.meteor_score import single_meteor_score
+    except Exception:
+        _pytest.skip("nltk unavailable")
+
+    class _NoWordnet:
+        @staticmethod
+        def synsets(word):
+            return []
+
+    from navc_tpu.metrics.meteor15 import _porter
+    nav = Meteor15(synonyms=None, paraphrases=None, function_words=set(),
+                   alpha=0.9, beta=3.0, gamma=0.5, delta=0.5,
+                   weights=(1.0, 1.0, 1.0, 1.0), identity_rule=False)
+    stem = PorterStemmer()
+    cases = [
+        ("the cat sat on a mat", "a cat was sitting on the mat"),
+        ("a quick brown fox jumped over lazy dogs",
+         "a fast brown fox leaps over the lazy dog"),
+        ("the dogs jumped over fences", "a dog jumps over the fence"),
+        ("a man slicing some bread", "a woman slices the bread"),
+        ("completely different words here", "nothing matches at all"),
+    ]
+    for hyp, ref in cases:
+        # precondition: both Porter implementations agree on these tokens
+        for w in (hyp + " " + ref).split():
+            assert _porter(w) == stem.stem(w), w
+        want = single_meteor_score(ref.split(), hyp.split(),
+                                   stemmer=stem, wordnet=_NoWordnet)
+        got = nav.sentence(hyp, [ref])
+        assert abs(got - want) < 1e-9, (hyp, got, want)
