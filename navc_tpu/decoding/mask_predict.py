@@ -93,9 +93,9 @@ def _predict_fn(model, variables, ctx: NARContext,
         return predict
 
     if use_pallas:
-        from ..ops.vocab_fused import fused_project_argmax
+        from ..ops.vocab_fused import fused_project_argmax, projection_weights
         # checkpoint-loaded trees hold numpy leaves; traced indexing needs jnp
-        w = jnp.asarray(variables["params"]["tgt_word_prj"]["kernel"])
+        w, w_bias = projection_weights(cfg, variables["params"])
         interpret = jax.default_backend() == "cpu"
 
         # the fully-fused decoder layer covers the decode hot-loop config:
@@ -135,7 +135,8 @@ def _predict_fn(model, variables, ctx: NARContext,
                     ln_eps=cfg.layer_norm_eps)
                 n, l2, hdim = hidden.shape
                 ids, maxp = fused_project_argmax(
-                    hidden.reshape(n * l2, hdim), w, interpret=interpret)
+                    hidden.reshape(n * l2, hdim), w, w_bias,
+                    interpret=interpret)
                 return ids.reshape(n, l2), maxp.reshape(n, l2)
 
             def predict_sub(tokens: jnp.ndarray, q_idx: jnp.ndarray,
@@ -158,7 +159,8 @@ def _predict_fn(model, variables, ctx: NARContext,
                     interpret=interpret, ln_eps=cfg.layer_norm_eps)
                 n, k, hdim = hidden_q.shape
                 ids, maxp = fused_project_argmax(
-                    hidden_q.reshape(n * k, hdim), w, interpret=interpret)
+                    hidden_q.reshape(n * k, hdim), w, w_bias,
+                    interpret=interpret)
                 return ids.reshape(n, k), maxp.reshape(n, k)
 
             from ..ops.eligibility import fused_sparse_eligible
@@ -172,7 +174,7 @@ def _predict_fn(model, variables, ctx: NARContext,
                 True, method=lambda m, *a: m.decode(*a))
             n, l, hdim = hidden.shape
             ids, maxp = fused_project_argmax(
-                hidden.reshape(n * l, hdim), w, interpret=interpret)
+                hidden.reshape(n * l, hdim), w, w_bias, interpret=interpret)
             return ids.reshape(n, l), maxp.reshape(n, l)
         return predict
 
@@ -197,11 +199,11 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
     if use_fused:
         from ..ops.fused_layer import (fused_nar_decoder_layer,
                                        layer_weights_from_params)
-        from ..ops.vocab_fused import fused_project_gather_prob
+        from ..ops.vocab_fused import fused_project_gather_prob, projection_weights
         layer_w = jax.tree_util.tree_map(
             jnp.asarray, layer_weights_from_params(
                 teacher_variables["params"]["decoder"]["layer_0"]))
-        w = jnp.asarray(teacher_variables["params"]["tgt_word_prj"]["kernel"])
+        w, w_bias = projection_weights(tcfg, teacher_variables["params"])
         emb_p = teacher_variables["params"]["decoder"]["embedding"]
         word_table = jnp.asarray(emb_p["word_embeddings"]["embedding"])
         interpret = jax.default_backend() == "cpu"
@@ -229,7 +231,7 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                 ln_eps=tcfg.layer_norm_eps)
             probs = fused_project_gather_prob(
                 hidden.reshape(n * l, hidden.shape[-1]), w, t.reshape(n * l),
-                interpret=interpret).reshape(n, l)
+                w_bias, interpret=interpret).reshape(n, l)
             return jnp.where(pad_mask, 1.0, probs)
         return score
 

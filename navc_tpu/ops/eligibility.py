@@ -91,8 +91,9 @@ def fused_sparse_eligible(cfg: Config) -> bool:
 def fused_vocab_eligible(cfg: Config) -> bool:
     """Can the fused projection(+argmax/gather) kernels be used?
 
-    Requires an untied projection matrix: the tied path projects through the
-    (transposed) embedding table with a bias (seq2seq.py:124-125 here), which
-    the kernels do not implement.
+    Both projection variants are supported: the untied bias-free
+    tgt_word_prj kernel, and the tied path (transposed embedding table plus
+    the standalone bias, seq2seq.py:124-125 here) via the kernels' bias
+    operand — see ops.vocab_fused.projection_weights.
     """
-    return cfg.use_pallas and not cfg.tie_weights
+    return cfg.use_pallas

@@ -19,7 +19,7 @@ VMEM scratch carry across vocab tiles of the same token tile.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,33 +33,54 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(h_ref, w_ref, ids_ref, maxp_ref,
-            m_scr, s_scr, amax_scr, *, tv: int, v_real: int):
+def _kernel(h_ref, w_ref, *refs, tv: int, v_real: int, has_bias: bool):
+    if has_bias:
+        b_ref, ids_ref, maxp_ref, m_scr, s_scr, amax_scr = refs
+    else:
+        ids_ref, maxp_ref, m_scr, s_scr, amax_scr = refs
     j = pl.program_id(1)
-    scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
-    # padded vocab columns must never win nor contribute to the sum-exp
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
-    scores = jnp.where(col < v_real, scores, NEG_INF)
-    tile_max = jnp.max(scores, axis=-1, keepdims=True)           # (TN, 1)
-    tile_arg = (jnp.argmax(scores, axis=-1)[:, None] + j * tv)   # (TN, 1)
+    last = pl.num_programs(1) - 1
+    raw = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if has_bias:
+        raw = raw + b_ref[:]  # (1, TV) broadcast — tied-projection bias
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = tile_max
-        s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
-        amax_scr[:] = tile_arg.astype(jnp.int32)
+    def update(scores):
+        """Online-softmax accumulator update (runs under pl.when)."""
+        tile_max = jnp.max(scores, axis=-1, keepdims=True)           # (TN, 1)
+        tile_arg = (jnp.argmax(scores, axis=-1)[:, None] + j * tv)   # (TN, 1)
 
-    @pl.when(j > 0)
-    def _update():
-        m_old = m_scr[:]
-        new_m = jnp.maximum(m_old, tile_max)
-        s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
-                    + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
-        better = tile_max > m_old
-        amax_scr[:] = jnp.where(better, tile_arg.astype(jnp.int32), amax_scr[:])
-        m_scr[:] = new_m
+        @pl.when(j == 0)
+        def _init():
+            m_scr[:] = tile_max
+            s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
+            amax_scr[:] = tile_arg.astype(jnp.int32)
 
-    @pl.when(j == pl.num_programs(1) - 1)
+        @pl.when(j > 0)
+        def _update():
+            m_old = m_scr[:]
+            new_m = jnp.maximum(m_old, tile_max)
+            s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
+                        + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
+            better = tile_max > m_old
+            amax_scr[:] = jnp.where(better, tile_arg.astype(jnp.int32), amax_scr[:])
+            m_scr[:] = new_m
+
+    if v_real % tv == 0:
+        update(raw)
+    else:
+        # padded vocab columns exist only in the LAST tile; the mask pass
+        # (iota + compare + select over (TN, TV)) is ~25% of the VPU epilogue,
+        # so skip it everywhere else
+        @pl.when(j < last)
+        def _clean():
+            update(raw)
+
+        @pl.when(j == last)
+        def _masked():
+            col = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1) + j * tv
+            update(jnp.where(col < v_real, raw, NEG_INF))
+
+    @pl.when(j == last)
     def _finish():
         ids_ref[:] = amax_scr[:]
         maxp_ref[:] = 1.0 / s_scr[:]  # max prob = exp(m - m) / sum-exp
@@ -67,12 +88,15 @@ def _kernel(h_ref, w_ref, ids_ref, maxp_ref,
 
 @functools.partial(jax.jit, static_argnames=("tn", "tv", "interpret"))
 def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
-                         tn: int = 256, tv: int = 2048,
+                         bias: Optional[jnp.ndarray] = None,
+                         tn: int = 512, tv: int = 2048,
                          interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """argmax ids + max softmax prob of h @ w without materializing logits.
+    """argmax ids + max softmax prob of h @ w (+ bias) without logits in HBM.
 
-    h: (N, D) activations; w: (D, V) projection. Returns (ids (N,) int32,
+    h: (N, D) activations; w: (D, V) projection; bias: optional (V,) f32 —
+    the tied-projection path (reference seq2seq.py:27-33) projects through
+    the transposed embedding table WITH a bias. Returns (ids (N,) int32,
     max_prob (N,) float32). Matmul runs in bf16 with f32 accumulation.
     """
     n, d = h.shape
@@ -82,15 +106,24 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
     v_pad = _round_up(v, tv)
     h_p = jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16))
     w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
+    has_bias = bias is not None
+    inputs = [h_p, w_p]
+    in_specs = [
+        pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        b_p = jnp.zeros((1, v_pad), jnp.float32).at[0, :v].set(
+            bias.astype(jnp.float32))
+        inputs.append(b_p)
+        in_specs.append(
+            pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM))
 
     grid = (n_pad // tn, v_pad // tv)
     ids, maxp = pl.pallas_call(
-        functools.partial(_kernel, tv=tv, v_real=v),
+        functools.partial(_kernel, tv=tv, v_real=v, has_bias=has_bias),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -105,39 +138,59 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
             pltpu.VMEM((tn, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(h_p, w_p)
+    )(*inputs)
 
     return ids[:n, 0], maxp[:n, 0]
 
 
-def _gather_kernel(h_ref, w_ref, tgt_ref, prob_ref,
-                   m_scr, s_scr, g_scr, *, tv: int, v_real: int):
+def _gather_kernel(h_ref, w_ref, tgt_ref, *refs, tv: int, v_real: int,
+                   has_bias: bool):
+    if has_bias:
+        b_ref, prob_ref, m_scr, s_scr, g_scr = refs
+    else:
+        prob_ref, m_scr, s_scr, g_scr = refs
     j = pl.program_id(1)
-    scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
-    scores = jnp.where(col < v_real, scores, NEG_INF)
-
-    tile_max = jnp.max(scores, axis=-1, keepdims=True)
+    last = pl.num_programs(1) - 1
+    raw = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if has_bias:
+        raw = raw + b_ref[:]
+    # target one-hot columns; needed on every tile (targets < v_real always,
+    # so tsel never selects a padded column)
+    col = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1) + j * tv
     tsel = col == tgt_ref[:]  # (TN, TV) one-hot of the target id
-    tl = jnp.sum(jnp.where(tsel, scores, 0.0), axis=-1, keepdims=True)
-    has = jnp.any(tsel, axis=-1, keepdims=True)
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = tile_max
-        s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
-        g_scr[:] = jnp.where(has, tl, NEG_INF)
+    def update(scores):
+        tile_max = jnp.max(scores, axis=-1, keepdims=True)
+        tl = jnp.sum(jnp.where(tsel, scores, 0.0), axis=-1, keepdims=True)
+        has = jnp.any(tsel, axis=-1, keepdims=True)
 
-    @pl.when(j > 0)
-    def _update():
-        m_old = m_scr[:]
-        new_m = jnp.maximum(m_old, tile_max)
-        s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
-                    + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
-        g_scr[:] = jnp.where(has, tl, g_scr[:])
-        m_scr[:] = new_m
+        @pl.when(j == 0)
+        def _init():
+            m_scr[:] = tile_max
+            s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
+            g_scr[:] = jnp.where(has, tl, NEG_INF)
 
-    @pl.when(j == pl.num_programs(1) - 1)
+        @pl.when(j > 0)
+        def _update():
+            m_old = m_scr[:]
+            new_m = jnp.maximum(m_old, tile_max)
+            s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
+                        + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
+            g_scr[:] = jnp.where(has, tl, g_scr[:])
+            m_scr[:] = new_m
+
+    if v_real % tv == 0:
+        update(raw)
+    else:
+        @pl.when(j < last)
+        def _clean():
+            update(raw)
+
+        @pl.when(j == last)
+        def _masked():
+            update(jnp.where(col < v_real, raw, NEG_INF))
+
+    @pl.when(j == last)
     def _finish():
         # prob(target) = exp(logit_t - m) / sum-exp
         prob_ref[:] = jnp.exp(g_scr[:] - m_scr[:]) / s_scr[:]
@@ -146,12 +199,14 @@ def _gather_kernel(h_ref, w_ref, tgt_ref, prob_ref,
 @functools.partial(jax.jit, static_argnames=("tn", "tv", "interpret"))
 def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
                               targets: jnp.ndarray,
-                              tn: int = 256, tv: int = 2048,
+                              bias: Optional[jnp.ndarray] = None,
+                              tn: int = 512, tv: int = 2048,
                               interpret: bool = False) -> jnp.ndarray:
-    """softmax(h @ w)[i, targets[i]] without materializing the logits.
+    """softmax(h @ w (+ bias))[i, targets[i]] without materializing logits.
 
     The AR-teacher rescoring gather (reference algorithms.py:196-200).
-    h: (N, D); w: (D, V); targets: (N,) int32. Returns (N,) f32 probs.
+    h: (N, D); w: (D, V); targets: (N,) int32; bias: optional (V,) f32
+    (tied projection). Returns (N,) f32 probs.
     """
     n, d = h.shape
     v = w.shape[1]
@@ -160,16 +215,25 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
     h_p = jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16))
     w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
     t_p = jnp.zeros((n_pad, 1), jnp.int32).at[:n, 0].set(targets.astype(jnp.int32))
+    has_bias = bias is not None
+    inputs = [h_p, w_p, t_p]
+    in_specs = [
+        pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        b_p = jnp.zeros((1, v_pad), jnp.float32).at[0, :v].set(
+            bias.astype(jnp.float32))
+        inputs.append(b_p)
+        in_specs.append(
+            pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM))
 
     grid = (n_pad // tn, v_pad // tv)
     prob = pl.pallas_call(
-        functools.partial(_gather_kernel, tv=tv, v_real=v),
+        functools.partial(_gather_kernel, tv=tv, v_real=v, has_bias=has_bias),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         scratch_shapes=[
@@ -178,7 +242,7 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
             pltpu.VMEM((tn, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(h_p, w_p, t_p)
+    )(*inputs)
     return prob[:n, 0]
 
 
@@ -187,3 +251,17 @@ def reference_project_argmax(h, w):
     logits = (h.astype(jnp.float32) @ w.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.argmax(probs, -1).astype(jnp.int32), jnp.max(probs, -1)
+
+
+def projection_weights(cfg, params):
+    """(w (D, V), bias (V,) or None) for the vocab projection.
+
+    Untied: the bias-free tgt_word_prj kernel. Tied (reference
+    seq2seq.py:27-33): the transposed decoder embedding table plus the
+    standalone tied bias — both fused kernels accept the bias operand.
+    """
+    if cfg.tie_weights:
+        table = jnp.asarray(
+            params["decoder"]["embedding"]["word_embeddings"]["embedding"])
+        return table.T, jnp.asarray(params["tgt_word_prj_bias"])
+    return jnp.asarray(params["tgt_word_prj"]["kernel"]), None

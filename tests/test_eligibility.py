@@ -49,7 +49,10 @@ def test_enhance_input_resampling_only_disables_nar():
     assert fused_layer_eligible(c, causal=True)
 
 
-def test_tied_weights_disable_vocab_fusion_only():
+def test_tied_weights_remain_fused_eligible():
+    # the projection kernels take the tied table + bias via their bias
+    # operand (ops.vocab_fused.projection_weights), so tying no longer
+    # knocks a config off the fused path
     c = cfg(tie_weights=True)
-    assert not fused_vocab_eligible(c)
+    assert fused_vocab_eligible(c)
     assert fused_layer_eligible(c, causal=True)

@@ -227,3 +227,55 @@ def test_sparse_query_bound_covers_f32_mask_count():
         del os.environ["NAVC_DENSE_REFINE"]
 
     np.testing.assert_array_equal(np.asarray(sparse), np.asarray(dense))
+
+
+def test_fused_project_argmax_with_bias_interpret():
+    """The bias operand (tied projection, seq2seq.py:27-33) must shift the
+    argmax and probabilities exactly like a materialized logits + bias."""
+    rng = np.random.RandomState(3)
+    h = jnp.asarray(rng.randn(96, 64).astype(np.float32))
+    w = jnp.asarray((rng.randn(64, 1000) * 0.1).astype(np.float32))
+    b = jnp.asarray((rng.randn(1000) * 2.0).astype(np.float32))
+    ids, maxp = fused_project_argmax(h, w, b, tn=128, tv=512, interpret=True)
+    h16 = h.astype(jnp.bfloat16).astype(jnp.float32)
+    w16 = w.astype(jnp.bfloat16).astype(jnp.float32)
+    logits = h16 @ w16 + b
+    probs = jax.nn.softmax(logits, axis=-1)
+    rid = jnp.argmax(probs, -1).astype(jnp.int32)
+    match = (np.asarray(ids) == np.asarray(rid)).mean()
+    assert match > 0.99, match
+    agree = np.asarray(ids) == np.asarray(rid)
+    np.testing.assert_allclose(np.asarray(maxp)[agree],
+                               np.asarray(jnp.max(probs, -1))[agree],
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_tied_weights_fused_generator():
+    """tie_weights configs now run the fused decode path (VERDICT r2 #9):
+    eligibility admits them and tokens agree with the plain XLA path."""
+    from navc_tpu.config import default_config
+    from navc_tpu.decoding import make_nar_generator
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.ops.eligibility import (fused_decode_eligible,
+                                          fused_vocab_eligible)
+
+    over = dict(
+        vocab_size=50, dim_hidden=16, num_attention_heads=2,
+        intermediate_size=32, n_frames=4, dim_i=12, dim_m=10, modality="mi",
+        max_len=10, batch_size=2, length_beam_size=2, iterations=2,
+        compute_dtype="float32", tie_weights=True,
+    )
+    cfg = default_config("NAB", dataset="MSVD", **over)
+    assert fused_vocab_eligible(cfg.replace(use_pallas=True))
+    assert fused_decode_eligible(cfg.replace(use_pallas=True))
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    assert "tgt_word_prj_bias" in variables["params"]
+    feats = [jnp.asarray(np.random.RandomState(1).randn(2, cfg.n_frames, d)
+                         .astype(np.float32)) for d in cfg.modality_dims]
+    enc = model.apply(variables, feats, method=lambda m, f: m.encode(f))
+
+    a = np.asarray(make_nar_generator(cfg, model, jit=False)(variables, enc, None))
+    b = np.asarray(make_nar_generator(cfg.replace(use_pallas=True), model,
+                                      jit=False)(variables, enc, None))
+    assert (a == b).mean() > 0.9, (a, b)
