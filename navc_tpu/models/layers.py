@@ -72,9 +72,43 @@ def _pad_zero_embed_init(key, shape, dtype=jnp.float32):
 
 
 class Dense(nn.Dense):
-    """nn.Dense with torch-compatible default kernel init."""
+    """nn.Dense with torch-compatible default kernel AND bias init.
+
+    torch nn.Linear draws BOTH from U(-1/sqrt(fan_in), 1/sqrt(fan_in));
+    flax's zero-bias default measurably slows convergence at small scale
+    (root cause of the round-2 NAB training-trajectory gap: with identical
+    init + identical batches the two stacks' per-step losses are
+    float-identical — scripts/nab_bisect.py). The bias init needs fan_in,
+    which flax's ``bias_init(key, (features,))`` signature cannot see, so
+    ``__call__`` mirrors nn.Dense's exact computation (same promote_dtype /
+    dot_general / bias-add order — the bf16 parity paths depend on it) and
+    builds the bias initializer from the input width.
+    """
 
     kernel_init: Any = torch_linear_init
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        fan_in = jnp.shape(inputs)[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (fan_in, self.features), self.param_dtype)
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(fan_in)
+            bias = self.param(
+                "bias",
+                lambda key, shape, dtype=self.param_dtype: jax.random.uniform(
+                    key, shape, dtype, -bound, bound),
+                (self.features,))
+        else:
+            bias = None
+        inputs, kernel, bias = nn.dtypes.promote_dtype(
+            inputs, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(
+            inputs, kernel, (((inputs.ndim - 1,), (0,)), ((), ())),
+            precision=self.precision)
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
 
 
 def sinusoid_position_encoding(max_len: int, d_model: int) -> jnp.ndarray:
