@@ -128,9 +128,12 @@ def _predict_fn(model, variables, ctx: NARContext,
 
             def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
                 raw = word_table[tokens]
+                # tb=8 measured best for DENSE calls on v5e (120.1 vs
+                # 116.0 TFLOP/s at tb=4); the qsub call keeps tb=4 (its K/V
+                # footprint scales with tb, see its call site)
                 hidden = fused_nar_decoder_layer(
                     raw, ctx.enc_output, tokens == C.PAD, layer_w,
-                    n_head=cfg.num_attention_heads, tb=4, interpret=interpret,
+                    n_head=cfg.num_attention_heads, tb=8, interpret=interpret,
                     static=static, ln_scale=ln_scale, ln_bias=ln_bias,
                     ln_eps=cfg.layer_norm_eps)
                 n, l2, hdim = hidden.shape
@@ -224,7 +227,7 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                 static = static + cat[:, None, :]
             hidden = fused_nar_decoder_layer(
                 word_table[inp], ctx.teacher_enc_output, inp == C.PAD, layer_w,
-                n_head=tcfg.num_attention_heads, tb=4, causal=True,
+                n_head=tcfg.num_attention_heads, tb=8, causal=True,
                 interpret=interpret, static=static,
                 ln_scale=emb_p["LayerNorm"]["scale"],
                 ln_bias=emb_p["LayerNorm"]["bias"],

@@ -39,48 +39,34 @@ def _kernel(h_ref, w_ref, *refs, tv: int, v_real: int, has_bias: bool):
     else:
         ids_ref, maxp_ref, m_scr, s_scr, amax_scr = refs
     j = pl.program_id(1)
-    last = pl.num_programs(1) - 1
-    raw = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     if has_bias:
-        raw = raw + b_ref[:]  # (1, TV) broadcast — tied-projection bias
+        scores = scores + b_ref[:]  # (1, TV) broadcast — tied-projection bias
+    if v_real % tv:
+        # padded vocab columns must never win nor contribute to the sum-exp
+        # (they exist only when V is not a TV multiple)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
+        scores = jnp.where(col < v_real, scores, NEG_INF)
+    tile_max = jnp.max(scores, axis=-1, keepdims=True)           # (TN, 1)
+    tile_arg = (jnp.argmax(scores, axis=-1)[:, None] + j * tv)   # (TN, 1)
 
-    def update(scores):
-        """Online-softmax accumulator update (runs under pl.when)."""
-        tile_max = jnp.max(scores, axis=-1, keepdims=True)           # (TN, 1)
-        tile_arg = (jnp.argmax(scores, axis=-1)[:, None] + j * tv)   # (TN, 1)
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = tile_max
+        s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
+        amax_scr[:] = tile_arg.astype(jnp.int32)
 
-        @pl.when(j == 0)
-        def _init():
-            m_scr[:] = tile_max
-            s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
-            amax_scr[:] = tile_arg.astype(jnp.int32)
+    @pl.when(j > 0)
+    def _update():
+        m_old = m_scr[:]
+        new_m = jnp.maximum(m_old, tile_max)
+        s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
+                    + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
+        better = tile_max > m_old
+        amax_scr[:] = jnp.where(better, tile_arg.astype(jnp.int32), amax_scr[:])
+        m_scr[:] = new_m
 
-        @pl.when(j > 0)
-        def _update():
-            m_old = m_scr[:]
-            new_m = jnp.maximum(m_old, tile_max)
-            s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
-                        + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
-            better = tile_max > m_old
-            amax_scr[:] = jnp.where(better, tile_arg.astype(jnp.int32), amax_scr[:])
-            m_scr[:] = new_m
-
-    if v_real % tv == 0:
-        update(raw)
-    else:
-        # padded vocab columns exist only in the LAST tile; the mask pass
-        # (iota + compare + select over (TN, TV)) is ~25% of the VPU epilogue,
-        # so skip it everywhere else
-        @pl.when(j < last)
-        def _clean():
-            update(raw)
-
-        @pl.when(j == last)
-        def _masked():
-            col = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1) + j * tv
-            update(jnp.where(col < v_real, raw, NEG_INF))
-
-    @pl.when(j == last)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _finish():
         ids_ref[:] = amax_scr[:]
         maxp_ref[:] = 1.0 / s_scr[:]  # max prob = exp(m - m) / sum-exp
@@ -150,47 +136,34 @@ def _gather_kernel(h_ref, w_ref, tgt_ref, *refs, tv: int, v_real: int,
     else:
         prob_ref, m_scr, s_scr, g_scr = refs
     j = pl.program_id(1)
-    last = pl.num_programs(1) - 1
-    raw = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     if has_bias:
-        raw = raw + b_ref[:]
-    # target one-hot columns; needed on every tile (targets < v_real always,
-    # so tsel never selects a padded column)
-    col = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1) + j * tv
+        scores = scores + b_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
+    if v_real % tv:
+        scores = jnp.where(col < v_real, scores, NEG_INF)
+
+    tile_max = jnp.max(scores, axis=-1, keepdims=True)
     tsel = col == tgt_ref[:]  # (TN, TV) one-hot of the target id
+    tl = jnp.sum(jnp.where(tsel, scores, 0.0), axis=-1, keepdims=True)
+    has = jnp.any(tsel, axis=-1, keepdims=True)
 
-    def update(scores):
-        tile_max = jnp.max(scores, axis=-1, keepdims=True)
-        tl = jnp.sum(jnp.where(tsel, scores, 0.0), axis=-1, keepdims=True)
-        has = jnp.any(tsel, axis=-1, keepdims=True)
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = tile_max
+        s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
+        g_scr[:] = jnp.where(has, tl, NEG_INF)
 
-        @pl.when(j == 0)
-        def _init():
-            m_scr[:] = tile_max
-            s_scr[:] = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
-            g_scr[:] = jnp.where(has, tl, NEG_INF)
+    @pl.when(j > 0)
+    def _update():
+        m_old = m_scr[:]
+        new_m = jnp.maximum(m_old, tile_max)
+        s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
+                    + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
+        g_scr[:] = jnp.where(has, tl, g_scr[:])
+        m_scr[:] = new_m
 
-        @pl.when(j > 0)
-        def _update():
-            m_old = m_scr[:]
-            new_m = jnp.maximum(m_old, tile_max)
-            s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
-                        + jnp.sum(jnp.exp(scores - new_m), axis=-1, keepdims=True))
-            g_scr[:] = jnp.where(has, tl, g_scr[:])
-            m_scr[:] = new_m
-
-    if v_real % tv == 0:
-        update(raw)
-    else:
-        @pl.when(j < last)
-        def _clean():
-            update(raw)
-
-        @pl.when(j == last)
-        def _masked():
-            update(jnp.where(col < v_real, raw, NEG_INF))
-
-    @pl.when(j == last)
+    @pl.when(j == pl.num_programs(1) - 1)
     def _finish():
         # prob(target) = exp(logit_t - m) / sum-exp
         prob_ref[:] = jnp.exp(g_scr[:] - m_scr[:]) / s_scr[:]
