@@ -363,7 +363,7 @@ def _attach_secondary(out: dict):
     return out
 
 
-def build_flagship(batch_size: int):
+def build_flagship(batch_size: int, ckpt: str = None, tckpt: str = None):
     import jax
 
     from navc_tpu.runtime.compile_cache import enable_compilation_cache
@@ -374,13 +374,28 @@ def build_flagship(batch_size: int):
     from navc_tpu.models import build_model, init_params
 
     over = dict(vocab_size=10048, batch_size=batch_size, use_pallas=True)
-    cfg = default_config("NACF", dataset="MSRVTT", **over)
-    model = build_model(cfg)
-    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    if ckpt:
+        # trained weights (e.g. from scripts/flagship_e2e.py) — attaches a
+        # real-quality checkpoint to the perf number; decode cost itself is
+        # weight-independent
+        from navc_tpu.runtime.checkpoint import load_model_and_config
+        model, variables, cfg, _ = load_model_and_config(ckpt)
+        cfg = cfg.replace(batch_size=batch_size, use_pallas=True)
+        model = build_model(cfg)
+    else:
+        cfg = default_config("NACF", dataset="MSRVTT", **over)
+        model = build_model(cfg)
+        variables = init_params(model, jax.random.PRNGKey(0), cfg)
 
-    tcfg = default_config("ARB", dataset="MSRVTT", **over)
-    teacher = build_model(tcfg)
-    tvars = init_params(teacher, jax.random.PRNGKey(1), tcfg)
+    if tckpt:
+        from navc_tpu.runtime.checkpoint import load_model_and_config
+        teacher, tvars, tcfg, _ = load_model_and_config(tckpt)
+        tcfg = tcfg.replace(batch_size=batch_size)
+        teacher = build_model(tcfg)
+    else:
+        tcfg = default_config("ARB", dataset="MSRVTT", **over)
+        teacher = build_model(tcfg)
+        tvars = init_params(teacher, jax.random.PRNGKey(1), tcfg)
 
     gen = make_nar_generator(cfg, model, teacher)
     return cfg, model, variables, teacher, tvars, gen
@@ -400,11 +415,13 @@ def read_baseline():
     return None
 
 
-def main(batch_size: int = 2048, profile: bool = False):
+def main(batch_size: int = 2048, profile: bool = False,
+         ckpt: str = None, tckpt: str = None):
     import jax
     import jax.numpy as jnp
 
-    cfg, model, variables, teacher, tvars, gen = build_flagship(batch_size)
+    cfg, model, variables, teacher, tvars, gen = build_flagship(
+        batch_size, ckpt=ckpt, tckpt=tckpt)
     b = cfg.batch_size
     rng = np.random.RandomState(0)
     feats = [jnp.asarray(rng.randn(b, cfg.n_frames, d).astype(np.float32))
@@ -468,7 +485,7 @@ def main(batch_size: int = 2048, profile: bool = False):
     gpu_bound = 13.45e12 / decode_flops_per_caption(
         cfg.replace(use_pallas=False), n_enc)
     result = {
-        "metric": metric_name(b),
+        "metric": metric_name(b, " [trained ckpt]" if ckpt else ""),
         "value": round(captions_per_sec, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(captions_per_sec / baseline, 2) if baseline else None,
@@ -527,6 +544,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--ckpt", default=None,
+                    help="trained NACF checkpoint (flagship_e2e.py output)")
+    ap.add_argument("--tckpt", default=None,
+                    help="trained ARB teacher checkpoint")
     ap.add_argument("--workload", choices=["nacf", "arb", "train", "all"],
                     default="nacf",
                     help="nacf: primary decode bench (default; attaches the "
@@ -542,6 +563,8 @@ if __name__ == "__main__":
     elif args.workload == "all":
         measure_arb()
         measure_train()
-        main(batch_size=args.batch, profile=args.profile)
+        main(batch_size=args.batch, profile=args.profile,
+             ckpt=args.ckpt, tckpt=args.tckpt)
     else:
-        main(batch_size=args.batch, profile=args.profile)
+        main(batch_size=args.batch, profile=args.profile,
+             ckpt=args.ckpt, tckpt=args.tckpt)

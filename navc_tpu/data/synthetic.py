@@ -170,3 +170,66 @@ def write_hdf5_feats(path: str, feats_for_modality: Dict[str, np.ndarray]) -> No
     with h5py.File(path, "w") as f:
         for vid, arr in feats_for_modality.items():
             f.create_dataset(vid, data=arr)
+
+
+def make_flagship_synthetic(cfg: Config, n_videos: int = 512,
+                            n_classes: int = 64, vocab_size: int = 10048,
+                            n_total_frames: int = 16, seed: int = 0,
+                            n_categories: int = 20):
+    """A learnable fixture at FLAGSHIP scale (d=512 / vocab ~10k models).
+
+    Same latent-class construction as ``make_learnable_synthetic`` — videos
+    cluster by class in feature space and share their class caption — but
+    with a reference-scale vocabulary, realistic caption lengths (8..18
+    words drawn from the full vocab), and MSRVTT-style categories, so the
+    full CLI pipeline (ARB teacher -> NACF student, --default presets) can
+    be exercised end-to-end on real hardware with a corpus the model can
+    actually drive to high CIDEr. Returns (info_corpus, references, feats).
+    """
+    rng = np.random.RandomState(seed)
+    corpus, references = make_synthetic_corpus(
+        cfg, n_videos=n_videos, n_caps=1, vocab_size=vocab_size, seed=seed,
+        n_categories=n_categories)
+    itow = corpus["info"]["itow"]
+
+    max_cap = min(18, cfg.max_len - 2)
+    class_caps = []
+    for c in range(n_classes):
+        length = int(rng.randint(8, max_cap + 1))
+        class_caps.append(
+            list(rng.randint(C.NUM_SPECIAL_TOKENS, vocab_size, size=length)))
+
+    length_info = {}
+    itoc = {}
+    for v in range(n_videos):
+        vid = "video%d" % v
+        cls = v % n_classes  # train split (first 60%) covers every class
+        wid = class_caps[cls]
+        corpus["captions"][vid] = [[C.BOS] + wid + [C.EOS]]
+        corpus["pos_tags"][vid] = [[C.BOS] + [6] * len(wid) + [C.EOS]]
+        references[vid] = [{
+            "image_id": vid, "cap_id": 0,
+            "caption": " ".join(itow[w] for w in wid)}]
+        hist = [0] * 50
+        hist[len(wid)] = 1
+        length_info[vid] = hist
+        itoc[v] = cls % n_categories  # category correlates with class
+    corpus["info"]["length_info"] = length_info
+    corpus["info"]["itoc"] = itoc
+    split = corpus["info"]["split"]
+    corpus["info"]["split_category"] = {
+        mode: {c: [v for v in vids if itoc[v] == c] for c in range(n_categories)}
+        for mode, vids in split.items()}
+
+    centers = {ch: rng.randn(n_classes, getattr(cfg, "dim_%s" % ch)) * 2.0
+               for ch in cfg.modality.lower()}
+    feats: Dict[str, Dict[str, np.ndarray]] = {}
+    for ch in cfg.modality.lower():
+        dim = getattr(cfg, "dim_%s" % ch)
+        feats["feats_%s" % ch] = {
+            "video%d" % v: (centers[ch][v % n_classes][None, :]
+                            + 0.3 * rng.randn(n_total_frames, dim)
+                            ).astype(np.float32)
+            for v in range(n_videos)
+        }
+    return corpus, references, feats

@@ -108,11 +108,18 @@ def _predict_fn(model, variables, ctx: NARContext,
                 jnp.asarray, layer_weights_from_params(
                     variables["params"]["decoder"]["layer_0"]))
             emb_p = variables["params"]["decoder"]["embedding"]
-            word_table = jnp.asarray(emb_p["word_embeddings"]["embedding"])
+            # bf16 activations end to end: the raw word-embedding gather, the
+            # static features, enc K/V rows, and the hidden handoff to the
+            # vocab kernels all halve their HBM traffic; the kernels upcast
+            # to f32 before LayerNorm/softmax, and the projection kernels
+            # cast hidden to bf16 anyway so the bf16 handoff is bit-neutral
+            word_table = jnp.asarray(
+                emb_p["word_embeddings"]["embedding"]).astype(jnp.bfloat16)
             ln_scale = jnp.asarray(emb_p["LayerNorm"]["scale"])
             ln_bias = jnp.asarray(emb_p["LayerNorm"]["bias"])
             l = canvas_len or cfg.max_len
             n_rows = ctx.enc_output.shape[0]
+            enc16 = ctx.enc_output.astype(jnp.bfloat16)
             # iteration-invariant embedding parts: position (+category)
             # (+mean-pooled enc for enhance_input == 2) — hoisted out of the
             # refinement scan
@@ -125,6 +132,7 @@ def _predict_fn(model, variables, ctx: NARContext,
                 static = static + cat[:, None, :]
             if cfg.enhance_input == 2:
                 static = static + ctx.enc_output.mean(axis=1, keepdims=True)
+            static = static.astype(jnp.bfloat16)
 
             def predict(tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
                 raw = word_table[tokens]
@@ -132,34 +140,35 @@ def _predict_fn(model, variables, ctx: NARContext,
                 # 116.0 TFLOP/s at tb=4); the qsub call keeps tb=4 (its K/V
                 # footprint scales with tb, see its call site)
                 hidden = fused_nar_decoder_layer(
-                    raw, ctx.enc_output, tokens == C.PAD, layer_w,
+                    raw, enc16, tokens == C.PAD, layer_w,
                     n_head=cfg.num_attention_heads, tb=8, interpret=interpret,
                     static=static, ln_scale=ln_scale, ln_bias=ln_bias,
-                    ln_eps=cfg.layer_norm_eps)
+                    ln_eps=cfg.layer_norm_eps, out_dtype=jnp.bfloat16)
                 n, l2, hdim = hidden.shape
                 ids, maxp = fused_project_argmax(
                     hidden.reshape(n * l2, hdim), w, w_bias,
                     interpret=interpret)
                 return ids.reshape(n, l2), maxp.reshape(n, l2)
 
-            def predict_sub(tokens: jnp.ndarray, q_idx: jnp.ndarray,
-                            q_invalid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-                """Sparse-query forward: only the ``q_idx`` positions are
-                predicted (mask-predict discards every other slot's output,
-                algorithms.py:260-265). Bit-identical to ``predict``'s rows
-                at those positions — see ops.fused_layer qsub notes."""
+            def predict_sub(masked: jnp.ndarray, sel: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                """Sparse-query forward: sel (N, K, L) one-hot picks the
+                re-masked positions (mask-predict discards every other
+                slot's output, algorithms.py:260-265). Selection happens
+                in-kernel via exact one-hot bf16 matmuls — every selected
+                position is re-masked, so its raw embedding is the constant
+                <mask> row. Bit-identical to ``predict``'s rows at those
+                positions — see ops.fused_layer qsub notes."""
                 from ..ops.fused_layer import fused_nar_decoder_layer_qsub
-                tokens_q = jnp.take_along_axis(tokens, q_idx, axis=1)
-                static_q = jnp.take_along_axis(
-                    static, q_idx[..., None], axis=1)
                 # tb=4 measured best: larger tiles quadruple the K/V and
                 # attention-score footprint per tile and lose more than the
                 # extra Q rows gain (4742 vs 4511 captions/s at tb<=16)
                 hidden_q = fused_nar_decoder_layer_qsub(
-                    word_table[tokens_q], static_q, word_table[tokens], static,
-                    ctx.enc_output, q_invalid, tokens == C.PAD, layer_w,
+                    sel, word_table[C.MASK], word_table[masked], static,
+                    enc16, masked == C.PAD, layer_w,
                     ln_scale, ln_bias, n_head=cfg.num_attention_heads, tb=4,
-                    interpret=interpret, ln_eps=cfg.layer_norm_eps)
+                    interpret=interpret, ln_eps=cfg.layer_norm_eps,
+                    out_dtype=jnp.bfloat16)
                 n, k, hdim = hidden_q.shape
                 ids, maxp = fused_project_argmax(
                     hidden_q.reshape(n * k, hdim), w, w_bias,
@@ -208,7 +217,9 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                 teacher_variables["params"]["decoder"]["layer_0"]))
         w, w_bias = projection_weights(tcfg, teacher_variables["params"])
         emb_p = teacher_variables["params"]["decoder"]["embedding"]
-        word_table = jnp.asarray(emb_p["word_embeddings"]["embedding"])
+        word_table = jnp.asarray(
+            emb_p["word_embeddings"]["embedding"]).astype(jnp.bfloat16)
+        tenc16 = ctx.teacher_enc_output.astype(jnp.bfloat16)
         interpret = jax.default_backend() == "cpu"
 
         def score(tokens: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
@@ -226,12 +237,12 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                     ctx.teacher_category.reshape(n, -1)[:, 0]]
                 static = static + cat[:, None, :]
             hidden = fused_nar_decoder_layer(
-                word_table[inp], ctx.teacher_enc_output, inp == C.PAD, layer_w,
+                word_table[inp], tenc16, inp == C.PAD, layer_w,
                 n_head=tcfg.num_attention_heads, tb=8, causal=True,
-                interpret=interpret, static=static,
+                interpret=interpret, static=static.astype(jnp.bfloat16),
                 ln_scale=emb_p["LayerNorm"]["scale"],
                 ln_bias=emb_p["LayerNorm"]["bias"],
-                ln_eps=tcfg.layer_norm_eps)
+                ln_eps=tcfg.layer_norm_eps, out_dtype=jnp.bfloat16)
             probs = fused_project_gather_prob(
                 hidden.reshape(n * l, hidden.shape[-1]), w, t.reshape(n * l),
                 w_bias, interpret=interpret).reshape(n, l)
@@ -349,9 +360,15 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
         # L. Unrolled (T <= 6 is static) so every step gets its own static
         # query width. Numerics identical to the dense scan path (the qsub
         # kernel is row-bit-identical; schedule math unchanged).
+        #
+        # Selection/merge avoid take_along_axis/scatter entirely: lane-dim
+        # gathers on (N, L) tensors cost multiple ms EACH on TPU (profiled),
+        # so query slots map to canvas positions via a one-hot tensor built
+        # from cumsum ranks, the kernel selects rows with exact one-hot
+        # matmuls, and results merge back with exact multiply-sum reductions
+        # (one nonzero term per sum; token ids < 2^24 are exact in f32).
         import numpy as _np
         L = tokens.shape[1]
-        rows = jnp.arange(tokens.shape[0])[:, None]
         for c in range(1, T):
             ratio = jnp.float32(1.0 - c / T)  # f64 host -> f32 cast, as scan
             if use_ct and c == 1:
@@ -372,17 +389,20 @@ def _mask_predict(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config
             # bound at canvas width L covers every row length <= L.
             k_f32 = int(_np.float32(L) * _np.float32(1.0 - c / T))
             k_bound = min(L, -(-max(1, k_f32) // 8) * 8)
-            order = jnp.argsort((~mask_ind).astype(jnp.int32), axis=1,
-                                stable=True)  # masked slots first, in order
-            q_idx = order[:, :k_bound]
-            valid = jnp.take_along_axis(mask_ind, q_idx, axis=1)
-            ids_q, probs_q = predict_sub(masked, q_idx, ~valid)
-            old_ids = jnp.take_along_axis(masked, q_idx, axis=1)
-            old_probs = jnp.take_along_axis(token_probs, q_idx, axis=1)
-            tokens = masked.at[rows, q_idx].set(
-                jnp.where(valid, ids_q, old_ids))
-            token_probs = token_probs.at[rows, q_idx].set(
-                jnp.where(valid, probs_q, old_probs))
+            # query slot q = the q-th re-masked position in canvas order
+            # (the stable masked-first ordering); all-zero rows mark unused
+            # query slots
+            ranks = jnp.cumsum(mask_ind.astype(jnp.int32), axis=1) - 1
+            sel = ((ranks[:, None, :] ==
+                    jnp.arange(k_bound, dtype=jnp.int32)[None, :, None])
+                   & mask_ind[:, None, :])
+            ids_q, probs_q = predict_sub(masked, sel)
+            sel_f = sel.astype(jnp.float32)
+            cov = sel.any(axis=1)
+            ids_full = (sel_f * ids_q.astype(jnp.float32)[:, :, None]).sum(axis=1)
+            probs_full = (sel_f * probs_q[:, :, None]).sum(axis=1)
+            tokens = jnp.where(cov, ids_full.astype(jnp.int32), masked)
+            token_probs = jnp.where(cov, probs_full, token_probs)
             # pad slots keep PAD / prob 1.0 (dense path's _apply_pad)
             tokens = jnp.where(pad_mask, C.PAD, tokens)
             token_probs = jnp.where(pad_mask, 1.0, token_probs)

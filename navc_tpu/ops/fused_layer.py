@@ -118,14 +118,15 @@ def _layer_body(x, enc, kp, enc_kp,
     inter = _gelu_new(inter)
     down = jnp.dot(inter.astype(jnp.bfloat16), wo2,
                    preferred_element_type=jnp.float32) + bo2
-    out_ref[:] = (down + att) * npm
+    out_ref[:] = ((down + att) * npm).astype(out_ref.dtype)
 
 
 def _kernel(x_ref, enc_ref, kp_ref, enc_kp_ref, *wrefs,
             n_head, l_pad, le_pad, causal):
     out_ref = wrefs[-1]
     weights = [r[:] for r in wrefs[:-1]]
-    _layer_body(x_ref[:], enc_ref[:], kp_ref[:][:, 0], enc_kp_ref[:][:, 0],
+    _layer_body(x_ref[:].astype(jnp.float32), enc_ref[:],
+                kp_ref[:][:, 0], enc_kp_ref[:][:, 0],
                 *weights, out_ref,
                 n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal)
 
@@ -136,7 +137,7 @@ def _kernel_fold(x_ref, static_ref, lns_ref, lnb_ref, enc_ref, kp_ref,
     x = LayerNorm(word_embs + static) before the layer body."""
     out_ref = wrefs[-1]
     weights = [r[:] for r in wrefs[:-1]]
-    x = x_ref[:] + static_ref[:]
+    x = x_ref[:].astype(jnp.float32) + static_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
     x = (x - mu) * jax.lax.rsqrt(var + ln_eps) * lns_ref[:] + lnb_ref[:]
@@ -152,11 +153,14 @@ def _round_up(x, m):
 def _pad3(a, n_pad, l_pad):
     """Zero-pad (N, L, H) to (n_pad, l_pad, H) — no-op copy when already
     aligned (the decode hot loop runs on an 8-aligned canvas precisely so
-    these HBM round-trips vanish)."""
+    these HBM round-trips vanish). Keeps bf16 inputs bf16 (halves the HBM
+    stream of the big activation operands); the kernels upcast to f32 at
+    entry, so bf16-in vs f32-in changes only the input rounding."""
     n, l, h = a.shape
+    dt = jnp.bfloat16 if a.dtype == jnp.bfloat16 else jnp.float32
     if n == n_pad and l == l_pad:
-        return a.astype(jnp.float32)
-    return jnp.zeros((n_pad, l_pad, h), jnp.float32).at[:n, :l].set(a)
+        return a.astype(dt)
+    return jnp.zeros((n_pad, l_pad, h), dt).at[:n, :l].set(a.astype(dt))
 
 
 def _pad2(a, n_pad, l_pad, fill=1.0):
@@ -173,7 +177,7 @@ WEIGHT_KEYS = ["wq_s", "bq_s", "wk_s", "bk_s", "wv_s", "bv_s", "wo_s", "bo_s",
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "tb", "interpret",
-                                             "causal", "ln_eps"))
+                                             "causal", "ln_eps", "out_dtype"))
 def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
                             kp_mask: jnp.ndarray, weights: Dict[str, jnp.ndarray],
                             n_head: int = 8, tb: int = 8,
@@ -182,7 +186,8 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
                             static: jnp.ndarray = None,
                             ln_scale: jnp.ndarray = None,
                             ln_bias: jnp.ndarray = None,
-                            ln_eps: float = 1e-5) -> jnp.ndarray:
+                            ln_eps: float = 1e-5,
+                            out_dtype=jnp.float32) -> jnp.ndarray:
     """Run the fused decoder layer.
 
     x: (N, L, H) f32 embedded inputs; enc: (N, Le, H) f32; kp_mask: (N, L)
@@ -251,7 +256,7 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
             grid=(n_pad // tb,),
             in_specs=[xspec, xspec, row_spec, row_spec] + base_specs[1:] + wspecs,
             out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), out_dtype),
             interpret=interpret,
         )(x2, static2, lns, lnb, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
     else:
@@ -261,7 +266,7 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
             grid=(n_pad // tb,),
             in_specs=base_specs + wspecs,
             out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), out_dtype),
             interpret=interpret,
         )(x2, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
 
@@ -275,106 +280,111 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
 # Mask-predict re-predicts ONLY the re-masked slots each refinement iteration
 # (reference algorithms.py:260-265) — at iteration t just ceil(len*(1-t/T))
 # positions. The dense layer+projection still computes all L positions and
-# throws most away. This variant takes per-sequence gathered query rows
-# (K << L): K/V still cover the full canvas (self-attention needs every
-# position as a key), but Q-side matmuls, the FFN, and the (H x V) vocab
-# projection downstream all shrink by L/K. Row-independent math makes the
-# kept rows bit-identical to the dense kernel's.
+# throws most away. This variant shrinks the Q-side matmuls, the FFN, and the
+# (H x V) vocab projection downstream by L/K while K/V cover the full canvas.
+#
+# Query selection happens IN-KERNEL from a one-hot matrix: every valid query
+# slot is a re-masked position, so its raw word embedding is the constant
+# <mask> row — only the static (position/category) features vary, and they
+# are picked out exactly by a {0,1}-valued bf16 matmul on the MXU
+# (sum selects a single bf16 product, which the f32 accumulator holds
+# exactly). The previous design pre-gathered query rows in XLA; profiled on
+# the v5e those lane-dimension take_along_axis gathers cost ~2-5 ms EACH per
+# decode iteration — more than the matmuls they fed.
 
 
-def _layer_body_qsub(xq, x, kp_q, kp, enc, enc_kp,
-                     wq_s, bq_s, wk_s, bk_s, wv_s, bv_s, wo_s, bo_s,
-                     wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
-                     wi, bi, wo2, bo2,
-                     out_ref, *, n_head, k_pad, l_pad, le_pad):
-    npm = (1.0 - kp_q)[:, None]
+def _kernel_fold_qsub(sbd_ref, mrow_ref, x_ref, static_ref, lns_ref, lnb_ref,
+                      enc_ref, kp_ref, enc_kp_ref, *wrefs,
+                      n_head, k_pad, l_pad, le_pad, ln_eps):
+    out_ref = wrefs[-1]
+    weights = (wq_s, bq_s, wk_s, bk_s, wv_s, bv_s, wo_s, bo_s,
+               wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
+               wi, bi, wo2, bo2) = [r[:] for r in wrefs[:-1]]
 
+    def ln(v):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.mean((v - mu) * (v - mu), axis=-1, keepdims=True)
+        return (v - mu) * jax.lax.rsqrt(var + ln_eps) * lns_ref[:] + lnb_ref[:]
+
+    sbd = sbd_ref[:]                                   # (Tq, T) bf16 one-hot
+    npm_q = jnp.sum(sbd.astype(jnp.float32), axis=1, keepdims=True)
+    # exact one-hot select of the static rows (0/1 weights, f32 accumulate)
+    static_q = jnp.dot(sbd, static_ref[:], preferred_element_type=jnp.float32)
+    xq = ln(mrow_ref[:].astype(jnp.float32) + static_q)
+    x = ln(x_ref[:].astype(jnp.float32) + static_ref[:].astype(jnp.float32))
+
+    kp = kp_ref[:][:, 0]
     att = _attend_2d(xq, x, kp, wq_s, bq_s, wk_s, bk_s,
                      wv_s, bv_s, wo_s, bo_s,
                      n_head=n_head, lq=k_pad, lk=l_pad)
-    att = (att + xq) * npm
+    att = (att + xq) * npm_q
 
-    cross = _attend_2d(att, enc, enc_kp, wq_c, bq_c, wk_c, bk_c,
-                       wv_c, bv_c, wo_c, bo_c,
+    cross = _attend_2d(att, enc_ref[:], enc_kp_ref[:][:, 0],
+                       wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
                        n_head=n_head, lq=k_pad, lk=le_pad)
-    att = (cross + att) * npm
+    att = (cross + att) * npm_q
 
     inter = jnp.dot(att.astype(jnp.bfloat16), wi,
                     preferred_element_type=jnp.float32) + bi
     inter = _gelu_new(inter)
     down = jnp.dot(inter.astype(jnp.bfloat16), wo2,
                    preferred_element_type=jnp.float32) + bo2
-    out_ref[:] = (down + att) * npm
-
-
-def _kernel_fold_qsub(xq_ref, sq_ref, x_ref, static_ref, lns_ref, lnb_ref,
-                      enc_ref, kpq_ref, kp_ref, enc_kp_ref, *wrefs,
-                      n_head, k_pad, l_pad, le_pad, ln_eps):
-    out_ref = wrefs[-1]
-    weights = [r[:] for r in wrefs[:-1]]
-
-    def ln(v, s):
-        y = v + s
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.mean((y - mu) * (y - mu), axis=-1, keepdims=True)
-        return (y - mu) * jax.lax.rsqrt(var + ln_eps) * lns_ref[:] + lnb_ref[:]
-
-    xq = ln(xq_ref[:], sq_ref[:])
-    x = ln(x_ref[:], static_ref[:])
-    _layer_body_qsub(xq, x, kpq_ref[:][:, 0], kp_ref[:][:, 0],
-                     enc_ref[:], enc_kp_ref[:][:, 0], *weights, out_ref,
-                     n_head=n_head, k_pad=k_pad, l_pad=l_pad, le_pad=le_pad)
+    out_ref[:] = ((down + att) * npm_q).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "tb", "interpret",
-                                             "ln_eps"))
+                                             "ln_eps", "out_dtype"))
 def fused_nar_decoder_layer_qsub(
-        xq: jnp.ndarray, static_q: jnp.ndarray, x: jnp.ndarray,
-        static: jnp.ndarray, enc: jnp.ndarray,
-        kpq_mask: jnp.ndarray, kp_mask: jnp.ndarray,
+        sel: jnp.ndarray, mask_row: jnp.ndarray, x: jnp.ndarray,
+        static: jnp.ndarray, enc: jnp.ndarray, kp_mask: jnp.ndarray,
         weights: Dict[str, jnp.ndarray],
         ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
         n_head: int = 8, tb: int = 8, interpret: bool = False,
-        ln_eps: float = 1e-5) -> jnp.ndarray:
+        ln_eps: float = 1e-5, out_dtype=jnp.float32) -> jnp.ndarray:
     """Sparse-query fused layer (embedding epilogue folded).
 
-    xq: (N, K, H) raw word embeddings at the selected query positions;
-    static_q: (N, K, H) their position(+category/enhance) features;
-    x / static: (N, L, H) full-canvas equivalents (keys/values);
-    kpq_mask: (N, K) True where the query slot is padding/invalid;
-    kp_mask: (N, L) True where the canvas token is PAD.
-    Returns (N, K, H) hidden states — bit-identical to the dense kernel's
-    rows at the gathered positions.
+    sel: (N, K, L) one-hot query selection — sel[n, q, l] = 1 iff query slot
+    q of row n predicts canvas position l; all-zero rows mark invalid
+    (padding) query slots. Every selected position is re-masked, so its raw
+    word embedding is ``mask_row`` (H,). x / static: (N, L, H) full-canvas
+    raw embeddings / static features (keys/values); kp_mask: (N, L) True
+    where the canvas token is PAD. Returns (N, K, H) hidden states —
+    bit-identical to the dense kernel's rows at the selected positions
+    (one-hot bf16 matmuls select exact values; LN/attention per-row math is
+    row-independent).
     """
-    n, k, h = xq.shape
-    l = x.shape[1]
+    n, k, l = sel.shape
+    h = x.shape[-1]
     le = enc.shape[1]
     k_pad = _round_up(k, 8)
     l_pad = _round_up(l, 8)
     le_pad = _round_up(le, 8)
     n_pad = _round_up(n, tb)
 
-    xqp = _pad3(xq, n_pad, k_pad)
-    sqp = _pad3(static_q, n_pad, k_pad)
     xp = _pad3(x, n_pad, l_pad)
     sp = _pad3(static, n_pad, l_pad)
     encp = _pad3(enc, n_pad, le_pad)
-    kpq = _pad2(kpq_mask, n_pad, k_pad)
     kp = _pad2(kp_mask, n_pad, l_pad)
     enc_kp_row = (jnp.arange(le_pad) >= le).astype(jnp.float32)
     enc_kp = jnp.broadcast_to(enc_kp_row[None, :], (n_pad, le_pad))
 
+    # block-diagonal expansion: row (n, q) selects only columns of its own
+    # sequence's slot within the tile (tb sequences per tile)
+    selp = jnp.zeros((n_pad, k_pad, l_pad), jnp.bfloat16
+                     ).at[:n, :k, :l].set(sel.astype(jnp.bfloat16))
+    slot = jax.nn.one_hot(jnp.arange(n_pad) % tb, tb, dtype=jnp.bfloat16)
+    sel_bd = (selp[:, :, None, :] * slot[:, None, :, None]).reshape(
+        n_pad * k_pad, tb * l_pad)
+
     tq = tb * k_pad
     t = tb * l_pad
     tk = tb * le_pad
-    xq2 = xqp.reshape(n_pad * k_pad, h)
-    sq2 = sqp.reshape(n_pad * k_pad, h)
     x2 = xp.reshape(n_pad * l_pad, h)
     s2 = sp.reshape(n_pad * l_pad, h)
     enc2 = encp.reshape(n_pad * le_pad, h)
-    kpq2 = kpq.reshape(n_pad * k_pad, 1)
     kp2 = kp.reshape(n_pad * l_pad, 1)
     enc_kp2 = enc_kp.reshape(n_pad * le_pad, 1)
+    mrow = mask_row.astype(jnp.bfloat16)[None, :]
 
     w = {key: (v.astype(jnp.bfloat16) if v.ndim == 2 else v.astype(jnp.float32))
          for key, v in weights.items()}
@@ -391,23 +401,22 @@ def fused_nar_decoder_layer_qsub(
     lns = ln_scale.astype(jnp.float32)[None, :]
     lnb = ln_bias.astype(jnp.float32)[None, :]
     row_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    qspec = pl.BlockSpec((tq, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_kernel_fold_qsub, n_head=n_head, k_pad=k_pad,
                           l_pad=l_pad, le_pad=le_pad, ln_eps=ln_eps),
         grid=(n_pad // tb,),
-        in_specs=[qspec, qspec, xspec, xspec, row_spec, row_spec,
+        in_specs=[pl.BlockSpec((tq, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                  row_spec, xspec, xspec, row_spec, row_spec,
                   pl.BlockSpec((tk, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                  pl.BlockSpec((tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
                   pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
                   pl.BlockSpec((tk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
                  + wspecs,
         out_specs=pl.BlockSpec((tq, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad * k_pad, h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad * k_pad, h), out_dtype),
         interpret=interpret,
-    )(xq2, sq2, x2, s2, lns, lnb, enc2, kpq2, kp2, enc_kp2,
+    )(sel_bd, mrow, x2, s2, lns, lnb, enc2, kp2, enc_kp2,
       *[w[key] for key in WEIGHT_KEYS])
 
     return out.reshape(n_pad, k_pad, h)[:n, :k]
