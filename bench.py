@@ -26,7 +26,7 @@ perf number.
 Flags:
     --profile   capture a jax.profiler trace of the timed region into
                 profiles/ (one-shot; inspect with tensorboard or xprof)
-    --batch N   override batch size (default 2048)
+    --batch N   override batch size (default 4096)
 """
 
 import argparse
@@ -415,7 +415,7 @@ def read_baseline():
     return None
 
 
-def main(batch_size: int = 2048, profile: bool = False,
+def main(batch_size: int = 4096, profile: bool = False,
          ckpt: str = None, tckpt: str = None):
     import jax
     import jax.numpy as jnp
@@ -543,7 +543,7 @@ def report_fallback():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
-    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--ckpt", default=None,
                     help="trained NACF checkpoint (flagship_e2e.py output)")
     ap.add_argument("--tckpt", default=None,
