@@ -92,6 +92,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     dl = p.add_argument_group("Dataloader Parameters")
     dl.add_argument("--n_frames", type=int, default=8)
+    dl.add_argument("--n_total_frames", type=int, default=60)
     dl.add_argument("--n_caps_per_video", type=int, default=0)
     dl.add_argument("--random_type", type=str, default="segment_random")
     dl.add_argument("--load_feats_type", type=int, default=1)
