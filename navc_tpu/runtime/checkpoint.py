@@ -49,13 +49,21 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def load_model_and_config(path: str) -> Tuple[Any, Dict[str, Any], Config, Dict[str, Any]]:
-    """Returns (model, variables, cfg, other_info) — reference utils.py:54-63."""
+    """Returns (model, variables, cfg, other_info) — reference utils.py:54-63.
+
+    Variables are device_put once at load: numpy leaves fed to a jitted
+    function re-transfer host->device on EVERY call (measured 4.4x decode
+    slowdown over the remote transport; pure waste on any hardware).
+    """
+    import jax
+
     ckpt = load_checkpoint(path)
     cfg = Config.from_dict(ckpt["settings"])
     model = build_model(cfg)
     variables = {"params": ckpt["params"]}
     if ckpt.get("batch_stats"):
         variables["batch_stats"] = ckpt["batch_stats"]
+    variables = jax.device_put(variables)
     other = {k: v for k, v in ckpt.items()
              if k not in ("params", "batch_stats", "opt_state")}
     return model, variables, cfg, other

@@ -60,16 +60,42 @@ def main():
 
         for _ in range(3):
             np.asarray(gen(variables, enc, category, tvars, tenc, None))
+
+        # (a) sequential wall latency — the reference protocol: dispatch,
+        # execute, sync the result, repeat. Includes one full host<->device
+        # round-trip per call (the tunnel's RTT + result transfer).
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = np.asarray(gen(variables, enc, category, tvars, tenc, None))
-        dt = (time.perf_counter() - t0) / args.iters
+            np.asarray(gen(variables, enc, category, tvars, tenc, None))
+        wall = (time.perf_counter() - t0) / args.iters
+
+        # (b) amortized device latency — dispatch all iters before syncing
+        # any result, so per-call transport overlaps device compute and the
+        # mean approaches pure device execution time.
+        t0 = time.perf_counter()
+        outs = [gen(variables, enc, category, tvars, tenc, None)
+                for _ in range(args.iters)]
+        np.asarray(outs[-1])
+        device = (time.perf_counter() - t0) / args.iters
+
+        # (c) transport round-trip: sync an already-computed tiny array —
+        # pure host<->device turnaround, no compute
+        ready = outs[0]
+        np.asarray(ready)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            np.asarray(ready)
+        rtt = (time.perf_counter() - t0) / args.iters
+
         results["B=%d" % b] = {
-            "latency_ms": round(dt * 1000, 2),
-            "captions_per_sec": round(b / dt, 1),
+            "wall_latency_ms": round(wall * 1000, 2),
+            "device_latency_ms": round(device * 1000, 2),
+            "transport_rtt_ms": round(rtt * 1000, 2),
+            "captions_per_sec": round(b / wall, 1),
         }
-        print("B=%4d: %8.2f ms  %10.1f captions/s"
-              % (b, dt * 1000, b / dt), file=sys.stderr)
+        print("B=%4d: wall %8.2f ms  device %8.2f ms  rtt %6.2f ms  %10.1f captions/s"
+              % (b, wall * 1000, device * 1000, rtt * 1000, b / wall),
+              file=sys.stderr)
 
     print(json.dumps(results))
 
