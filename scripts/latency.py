@@ -78,13 +78,14 @@ def main():
         np.asarray(outs[-1])
         device = (time.perf_counter() - t0) / args.iters
 
-        # (c) transport round-trip: sync an already-computed tiny array —
-        # pure host<->device turnaround, no compute
-        ready = outs[0]
-        np.asarray(ready)
+        # (c) transport round-trip: dispatch + sync a fresh trivial op each
+        # iteration (an already-synced array re-reads a host-cached copy and
+        # measures nothing) — host<->device turnaround with ~zero compute
+        tiny = jnp.zeros((8,), jnp.float32)
+        np.asarray(tiny + 0)
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            np.asarray(ready)
+        for i in range(args.iters):
+            np.asarray(tiny + (i + 1))
         rtt = (time.perf_counter() - t0) / args.iters
 
         results["B=%d" % b] = {
