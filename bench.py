@@ -557,9 +557,9 @@ if __name__ == "__main__":
     if not _device_available():
         report_fallback()
     elif args.workload == "arb":
-        measure_arb()
+        measure_arb(batch_size=args.batch if args.batch != 4096 else 256)
     elif args.workload == "train":
-        measure_train()
+        measure_train(batch_size=args.batch if args.batch != 4096 else 2048)
     elif args.workload == "all":
         measure_arb()
         measure_train()
