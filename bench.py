@@ -209,7 +209,7 @@ def _mfu_fields(captions_per_sec: float, flops_caption: float) -> dict:
     }
 
 
-def measure_arb(batch_size: int = 256):
+def measure_arb(batch_size: int = 1024):
     """ARB beam-5 decode throughput with FLOP/MFU accounting (VERDICT r2 #5).
 
     Protocol mirrors the reference latency protocol (translate.py:149-151):
@@ -557,7 +557,7 @@ if __name__ == "__main__":
     if not _device_available():
         report_fallback()
     elif args.workload == "arb":
-        measure_arb(batch_size=args.batch if args.batch != 4096 else 256)
+        measure_arb(batch_size=args.batch if args.batch != 4096 else 1024)
     elif args.workload == "train":
         measure_train(batch_size=args.batch if args.batch != 4096 else 2048)
     elif args.workload == "all":

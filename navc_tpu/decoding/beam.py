@@ -167,10 +167,12 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
         q = dense(x, w["wq_s"], w["bq_s"]).reshape(n, nh, dh)
         kt = dense(x, w["wk_s"], w["bk_s"]).reshape(n, nh, dh)
         vt = dense(x, w["wv_s"], w["bv_s"]).reshape(n, nh, dh)
+        # bf16 cache writes are lossless in bf16 mode (kt/vt are f32 casts
+        # of bf16 values from dense())
         kcache = jax.lax.dynamic_update_slice_in_dim(
-            kcache, kt[:, None], t - 1, axis=1)
+            kcache, kt[:, None].astype(kcache.dtype), t - 1, axis=1)
         vcache = jax.lax.dynamic_update_slice_in_dim(
-            vcache, vt[:, None], t - 1, axis=1)
+            vcache, vt[:, None].astype(vcache.dtype), t - 1, axis=1)
 
         # key mask: causal (j > t-1, i.e. not yet written) + key-pad —
         # identical to key_pad_mask | subsequent_mask at row t-1
@@ -335,6 +337,9 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
 
             if use_cache:
                 # the cache follows beam ancestry exactly like the sequences
+                # (bf16 storage in the production dtype halves the bytes the
+                # k-way select chain moves; a one-hot einsum permute was
+                # measured SLOWER — the M=K=5 batched matmul tiles terribly)
                 kc = jnp.take_along_axis(
                     kc.reshape(b, k, max_len, nh, dh),
                     prev_k[:, :, None, None, None], axis=1
@@ -385,8 +390,14 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             return st, kc, vc, t + 1
 
         if use_cache:
-            kc0 = jnp.zeros((b * k, max_len, nh, dh), jnp.float32)
-            vc0 = jnp.zeros((b * k, max_len, nh, dh), jnp.float32)
+            # bf16 storage in the production dtype is LOSSLESS: the cached
+            # step's dense() emits f32 casts of bf16 values (flax-Dense
+            # replication), and attention re-casts to bf16 at use; the f32
+            # test dtype keeps f32 so the NAVC_NO_KVCACHE A/B stays exact
+            cdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp.float32)
+            kc0 = jnp.zeros((b * k, max_len, nh, dh), cdt)
+            vc0 = jnp.zeros((b * k, max_len, nh, dh), cdt)
         else:  # unused dummies keep one while_loop signature
             kc0 = jnp.zeros((), jnp.float32)
             vc0 = jnp.zeros((), jnp.float32)
