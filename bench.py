@@ -326,11 +326,25 @@ def measure_train(batch_size: int = 2048):
     dt = (time.perf_counter() - t0) / n_iters
     cps = b / dt
 
+    # pipelined: dispatch every step before syncing any metric — how the
+    # training loop actually runs (runtime/loop.py defers metric reads to
+    # epoch end), so per-step host round-trips overlap device compute
+    t0 = time.perf_counter()
+    ms = []
+    for _ in range(n_iters):
+        state, m = step(state, batch, key)
+        ms.append(m)
+    loss = float(ms[-1]["total_loss"])
+    dt_pipe = (time.perf_counter() - t0) / n_iters
+    cps_pipe = b / dt_pipe
+
     fl = train_flops_per_caption(cfg, cfg.n_frames)
     result = {
         "metric": ("NACF MSR-VTT-scale train-step throughput "
                    "(d=512,vocab=10048,2-pass,B=%d)" % b),
         "value": round(cps, 2),
+        "pipelined_value": round(cps_pipe, 2),
+        "pipelined_mfu": _mfu_fields(cps_pipe, fl)["mfu"],
         "unit": "captions/sec/chip",
         "loss": round(loss, 3),
         "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
