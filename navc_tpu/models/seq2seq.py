@@ -114,16 +114,23 @@ class Seq2Seq(nn.Module):
             tgt_seq, enc_output, category=category, decoding_type=decoding_type,
             deterministic=deterministic, output_attentions=output_attentions)
 
-    def project(self, hidden: jnp.ndarray) -> jnp.ndarray:
+    def project(self, hidden: jnp.ndarray, raw: bool = False) -> jnp.ndarray:
         """Vocab logits; bias-free unless tied (reference seq2seq.py:27-33).
 
         Logits return in float32 regardless of the matmul dtype so the
-        log_softmax and loss math stay full-precision.
+        log_softmax and loss math stay full-precision. ``raw=True`` skips
+        the f32 cast (training loss path): an f32 copy of bf16 values is
+        bit-identical element-wise, so materializing the (B, L, V) tensor
+        at twice the bytes buys nothing — runtime.crit casts inside its
+        reduction fusions instead, and the gradient already crossed a
+        f32->bf16 cast boundary at this exact point either way.
         """
         if not self.cfg.tie_weights:
-            return self.tgt_word_prj(hidden).astype(jnp.float32)
+            out = self.tgt_word_prj(hidden)
+            return out if raw else out.astype(jnp.float32)
         table = self.decoder.embedding.word_embeddings.embedding
-        return (hidden @ table.T + self.tie_bias).astype(jnp.float32)
+        out = hidden @ table.T + self.tie_bias
+        return out if raw else out.astype(jnp.float32)
 
     def ar_embed(self, tgt_seq, category=None):
         """AR pre-layer stage: embeddings only (no NAR enhance features)."""
@@ -198,7 +205,7 @@ class Seq2Seq(nn.Module):
             hidden, _, _ = self.decode(
                 tokens, results["enc_output"], category,
                 decoding_type=cfg.decoding_type, deterministic=deterministic)
-            logits = self.project(hidden)
+            logits = self.project(hidden, raw=return_logits)
             logprob_sets.append(
                 logits if return_logits else jax.nn.log_softmax(logits, axis=-1))
 

@@ -126,10 +126,15 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
     lang_loss = jnp.zeros((), jnp.float32)
     for i, (w, lp, lab) in enumerate(zip(weights, logprob_sets, label_sets)):
         if from_logits:
-            m = jnp.max(lp, axis=-1, keepdims=True)
-            lse = jnp.log(jnp.sum(jnp.exp(lp - m), axis=-1))
+            # lp may arrive bf16 (production train path): reductions cast
+            # in-register (f32 accumulate) and the gather casts its few
+            # elements — value-identical to casting the whole (B, L, V)
+            # tensor first, without materializing it at f32 width
+            m = jnp.max(lp, axis=-1, keepdims=True).astype(jnp.float32)
+            lse = jnp.log(jnp.sum(
+                jnp.exp(lp.astype(jnp.float32) - m), axis=-1))
             gathered = (jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]
-                        - m[..., 0]) - lse
+                        .astype(jnp.float32) - m[..., 0]) - lse
         else:
             gathered = jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]
         nonpad = (lab != C.PAD).astype(jnp.float32)
