@@ -353,3 +353,30 @@ def test_compute_losses_from_logits_is_float_identical():
     for k in m_probs:
         np.testing.assert_array_equal(np.asarray(m_probs[k]),
                                       np.asarray(m_logit[k]), err_msg=k)
+
+
+def test_flagship_synthetic_schema():
+    """make_flagship_synthetic emits the reference info_corpus schema at
+    vocab-10k scale with every latent class covered by the train split."""
+    from navc_tpu.config import default_config
+    from navc_tpu.data.synthetic import make_flagship_synthetic
+
+    cfg = default_config("NACF", dataset="MSRVTT", vocab_size=10048,
+                         n_frames=8, n_total_frames=16)
+    corpus, refs, feats = make_flagship_synthetic(
+        cfg, n_videos=64, n_classes=8, vocab_size=10048, n_total_frames=16)
+    info = corpus["info"]
+    assert len(info["itow"]) == 10048
+    assert set(info["split"]) == {"train", "validate", "test"}
+    train_classes = {v % 8 for v in info["split"]["train"]}
+    assert train_classes == set(range(8))  # every class is learnable
+    # category table covers MSRVTT's 20 categories domain
+    assert all(0 <= c < 20 for c in info["itoc"].values())
+    vid = "video0"
+    cap = corpus["captions"][vid][0]
+    assert cap[0] == 2 and cap[-1] == 3  # BOS/EOS framing
+    assert 8 <= len(cap) - 2 <= 18
+    assert refs[vid][0]["caption"].count(" ") == len(cap) - 3
+    for ch in cfg.modality.lower():
+        arr = feats["feats_%s" % ch][vid]
+        assert arr.shape == (16, getattr(cfg, "dim_%s" % ch))
