@@ -26,7 +26,7 @@ perf number.
 Flags:
     --profile   capture a jax.profiler trace of the timed region into
                 profiles/ (one-shot; inspect with tensorboard or xprof)
-    --batch N   override batch size (default 4096)
+    --batch N   override batch size (default 8192)
 """
 
 import argparse
@@ -429,7 +429,7 @@ def read_baseline():
     return None
 
 
-def main(batch_size: int = 4096, profile: bool = False,
+def main(batch_size: int = 8192, profile: bool = False,
          ckpt: str = None, tckpt: str = None):
     import jax
     import jax.numpy as jnp
@@ -557,7 +557,7 @@ def report_fallback():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--ckpt", default=None,
                     help="trained NACF checkpoint (flagship_e2e.py output)")
     ap.add_argument("--tckpt", default=None,
@@ -571,9 +571,9 @@ if __name__ == "__main__":
     if not _device_available():
         report_fallback()
     elif args.workload == "arb":
-        measure_arb(batch_size=args.batch if args.batch != 4096 else 1024)
+        measure_arb(batch_size=args.batch if args.batch != 8192 else 1024)
     elif args.workload == "train":
-        measure_train(batch_size=args.batch if args.batch != 4096 else 2048)
+        measure_train(batch_size=args.batch if args.batch != 8192 else 2048)
     elif args.workload == "all":
         measure_arb()
         measure_train()
