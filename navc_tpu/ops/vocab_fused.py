@@ -90,7 +90,8 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
     assert d == d2
     n_pad = _round_up(max(n, 8), tn)
     v_pad = _round_up(v, tv)
-    h_p = jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16))
+    h_p = (h.astype(jnp.bfloat16) if n == n_pad else
+           jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16)))
     w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
     has_bias = bias is not None
     inputs = [h_p, w_p]
@@ -185,7 +186,8 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
     v = w.shape[1]
     n_pad = _round_up(max(n, 8), tn)
     v_pad = _round_up(v, tv)
-    h_p = jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16))
+    h_p = (h.astype(jnp.bfloat16) if n == n_pad else
+           jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16)))
     w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
     t_p = jnp.zeros((n_pad, 1), jnp.int32).at[:n, 0].set(targets.astype(jnp.int32))
     has_bias = bias is not None
