@@ -209,7 +209,25 @@ def _mfu_fields(captions_per_sec: float, flops_caption: float) -> dict:
     }
 
 
-def measure_arb(batch_size: int = 1024):
+def _maybe_start_trace(profile: bool):
+    if not profile:
+        return None
+    import jax
+    trace_dir = os.path.join(HERE, "profiles",
+                             datetime.datetime.now().strftime("%Y%m%d_%H%M%S"))
+    jax.profiler.start_trace(trace_dir)
+    return trace_dir
+
+
+def _maybe_stop_trace(trace_dir, result: dict):
+    if trace_dir is None:
+        return
+    import jax
+    jax.profiler.stop_trace()
+    result["trace_dir"] = trace_dir
+
+
+def measure_arb(batch_size: int = 1024, profile: bool = False):
     """ARB beam-5 decode throughput with FLOP/MFU accounting (VERDICT r2 #5).
 
     Protocol mirrors the reference latency protocol (translate.py:149-151):
@@ -242,6 +260,7 @@ def measure_arb(batch_size: int = 1024):
     for _ in range(3):
         np.asarray(gen(variables, enc, category)[0])
     n_iters = 10
+    trace_dir = _maybe_start_trace(profile)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         hyp, _ = gen(variables, enc, category)
@@ -261,13 +280,14 @@ def measure_arb(batch_size: int = 1024):
         "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         **_mfu_fields(cps, fl),
     }
+    _maybe_stop_trace(trace_dir, result)
     with open(os.path.join(HERE, "BENCH_LIVE_ARB.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     return result
 
 
-def measure_train(batch_size: int = 2048):
+def measure_train(batch_size: int = 2048, profile: bool = False):
     """NACF train-step throughput with FLOP/MFU accounting (VERDICT r2 #5).
 
     Times the full jitted step (2-pass forward, losses, backward, clip,
@@ -285,7 +305,7 @@ def measure_train(batch_size: int = 2048):
 
     b = batch_size
     cfg = default_config("NACF", dataset="MSRVTT", vocab_size=10048,
-                         batch_size=b)
+                         batch_size=b, use_pallas=True)
     model = build_model(cfg)
     variables = init_params(model, jax.random.PRNGKey(0), cfg)
     state, tx = create_train_state(cfg, model, variables)
@@ -319,6 +339,7 @@ def measure_train(batch_size: int = 2048):
     state, m = step(state, batch, key)
     float(m["total_loss"])
     n_iters = 10
+    trace_dir = _maybe_start_trace(profile)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, m = step(state, batch, key)
@@ -350,6 +371,7 @@ def measure_train(batch_size: int = 2048):
         "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         **_mfu_fields(cps, fl),
     }
+    _maybe_stop_trace(trace_dir, result)
     with open(os.path.join(HERE, "BENCH_LIVE_TRAIN.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
@@ -571,9 +593,11 @@ if __name__ == "__main__":
     if not _device_available():
         report_fallback()
     elif args.workload == "arb":
-        measure_arb(batch_size=args.batch if args.batch != 8192 else 1024)
+        measure_arb(batch_size=args.batch if args.batch != 8192 else 1024,
+                    profile=args.profile)
     elif args.workload == "train":
-        measure_train(batch_size=args.batch if args.batch != 8192 else 2048)
+        measure_train(batch_size=args.batch if args.batch != 8192 else 2048,
+                      profile=args.profile)
     elif args.workload == "all":
         measure_arb()
         measure_train()

@@ -159,11 +159,18 @@ class BertEmbeddings(nn.Module):
     def __call__(self, input_ids, category=None, position_ids=None,
                  additional_feats=None, deterministic: bool = True):
         b, seq_len = input_ids.shape
-        if position_ids is None:
-            position_ids = jnp.broadcast_to(jnp.arange(seq_len)[None, :], (b, seq_len))
-
         words = self.word_embeddings(input_ids)
-        pos = self.position_embeddings(position_ids)
+        if position_ids is None:
+            # default positions are just arange: a static slice of the table
+            # broadcast over the batch is value-identical to the gather, but
+            # its VJP is a fast (B,) sum-reduction instead of the serialized
+            # scatter-add XLA emits for an embedding-gather backward
+            # (profiled at ~0.8 ms per scatter on the v5e train step)
+            pos = jnp.broadcast_to(
+                self.position_embeddings.embedding[None, :seq_len, :],
+                (b, seq_len, self.dim_hidden))
+        else:
+            pos = self.position_embeddings(position_ids)
         emb = words + pos
         if self.with_category:
             assert category is not None, "with_category model requires category ids"
