@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .. import constants as C
@@ -129,12 +130,22 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
             # lp may arrive bf16 (production train path): reductions cast
             # in-register (f32 accumulate) and the gather casts its few
             # elements — value-identical to casting the whole (B, L, V)
-            # tensor first, without materializing it at f32 width
+            # tensor first, without materializing it at f32 width.
+            # The label logit is picked by a one-hot masked SUM, not
+            # take_along_axis: a lane-dimension gather over (B, L, V)
+            # serializes on TPU (measured 57.6 -> 13.7 ms for the standalone
+            # loss fwd+bwd at B=2048, V=10048), while the masked reduction
+            # fuses with the sum-exp pass over the same input. Exactly one
+            # element per row is non-zero, so the f32-accumulated sum is
+            # bit-identical to the gather.
             m = jnp.max(lp, axis=-1, keepdims=True).astype(jnp.float32)
             lse = jnp.log(jnp.sum(
                 jnp.exp(lp.astype(jnp.float32) - m), axis=-1))
-            gathered = (jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]
-                        .astype(jnp.float32) - m[..., 0]) - lse
+            sel = (jax.lax.broadcasted_iota(jnp.int32, lp.shape, lp.ndim - 1)
+                   == lab[..., None])
+            g = jnp.sum(jnp.where(sel, lp, jnp.zeros((), lp.dtype))
+                        .astype(jnp.float32), axis=-1)
+            gathered = (g - m[..., 0]) - lse
         else:
             gathered = jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]
         nonpad = (lab != C.PAD).astype(jnp.float32)
