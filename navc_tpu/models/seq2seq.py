@@ -132,17 +132,19 @@ class Seq2Seq(nn.Module):
         out = hidden @ table.T + self.tie_bias
         return out if raw else out.astype(jnp.float32)
 
-    def ar_embed(self, tgt_seq, category=None):
+    def ar_embed(self, tgt_seq, category=None, deterministic: bool = True):
         """AR pre-layer stage: embeddings only (no NAR enhance features)."""
         return self.decoder.embedding(
-            tgt_seq, category=category, deterministic=True)
+            tgt_seq, category=category, deterministic=deterministic)
 
-    def nar_embed(self, tgt_seq, enc_output, category=None):
+    def nar_embed(self, tgt_seq, enc_output, category=None,
+                  deterministic: bool = True):
         """NAR pre-layer stage only: enhance-input feats + embeddings.
 
         Mirrors BertDecoder's pre-layer computation (reference
         Decoder.py:130-148) so the Pallas fused decoder layer
         (navc_tpu.ops.fused_layer) can take over from the embeddings.
+        ``deterministic=False`` (training) applies the embedding dropout.
         """
         from ..ops import masking as M
 
@@ -155,7 +157,7 @@ class Seq2Seq(nn.Module):
             additional_feats = M.meanpool_enc_output(enc_output, l)
         return self.decoder.embedding(
             tgt_seq, category=category, additional_feats=additional_feats,
-            deterministic=True)
+            deterministic=deterministic)
 
     def decode_logprobs(self, tgt_seq, enc_output, category=None,
                         decoding_type: Optional[str] = None,

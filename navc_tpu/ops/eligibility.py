@@ -88,6 +88,34 @@ def fused_sparse_eligible(cfg: Config) -> bool:
             and not os.environ.get("NAVC_DENSE_REFINE"))  # A/B kill-switch
 
 
+def fused_train_eligible(cfg: Config) -> bool:
+    """Can the training step run the custom-VJP fused layer
+    (ops/fused_layer_train) instead of the flax BertLayer?
+
+    Structural requirements mirror the decode kernel (1 layer, no
+    pos-attention, no attention LayerNorm, gelu_new, no sigmoid knob), plus:
+    attention-probs dropout must be 0.0 (the reference default, opts.py —
+    the kernel implements the four hidden-dropout sites only), and the
+    decoding type must be NARFormer or ARFormer (SelfMask's shifted-MLM
+    masking is not implemented in-kernel). Unlike the decode predicate there
+    is no enhance_input restriction: the embedding stage (which consumes
+    enhance features) stays in flax via Seq2Seq.nar_embed.
+    ``NAVC_NO_FUSED_TRAIN`` env disables it (A/B kill-switch).
+    """
+    import os
+    ok = (cfg.use_pallas
+          and cfg.num_hidden_layers_decoder == 1
+          and not cfg.pos_attention
+          and not cfg.with_layernorm
+          and not cfg.use_sigmoid_to_get_attprob
+          and cfg.hidden_act == "gelu_new"
+          and cfg.attention_probs_dropout_prob == 0.0
+          and not os.environ.get("NAVC_NO_FUSED_TRAIN"))
+    if cfg.decoding_type == "ARFormer":
+        return ok and cfg.watch == 0
+    return ok and cfg.decoding_type == "NARFormer"
+
+
 def fused_vocab_eligible(cfg: Config) -> bool:
     """Can the fused projection(+argmax/gather) kernels be used?
 

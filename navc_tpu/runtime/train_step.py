@@ -43,9 +43,79 @@ def create_train_state(cfg: Config, model: Seq2Seq, variables: Dict) -> Tuple[Tr
     ), tx
 
 
+def _fused_train_apply(cfg: Config, model: Seq2Seq, variables, feats, tgt,
+                       category, dropout_rng, mutable):
+    """Training forward through the custom-VJP fused layer.
+
+    Same results contract as the flax ``model(...)`` call, but the decoder
+    layer (the profiled hot 50% of the step) runs as the Pallas
+    fused-training kernel (ops/fused_layer_train): embeddings and encoder
+    stay in flax (dropout rngs threaded per pass), the layer runs in-kernel
+    with hash-RNG dropout, and the vocab projection stays in XLA (it already
+    executes at ~190 TFLOP/s). Gradients flow into the same param tree via
+    the kernel's hand-written backward.
+    """
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..ops.fused_layer import layer_weights_from_params
+    from ..ops.fused_layer_train import fused_bert_layer_train
+
+    rng_enc, rng_emb, rng_seed = jax.random.split(dropout_rng, 3)
+    kwargs: Dict[str, Any] = {"rngs": {"dropout": rng_enc}}
+    if mutable:
+        kwargs["mutable"] = ["batch_stats"]
+    out = model.apply(variables, feats,
+                      method=lambda m, f: m.encode(f, deterministic=False),
+                      **kwargs)
+    if mutable:
+        results, updates = out
+        new_batch_stats = updates.get("batch_stats", {})
+    else:
+        results, new_batch_stats = out, None
+    enc_output = results["enc_output"]
+
+    token_sets = list(tgt) if isinstance(tgt, (list, tuple)) else [tgt]
+    causal = cfg.decoding_type == "ARFormer"
+    weights = layer_weights_from_params(
+        variables["params"]["decoder"]["layer_0"])
+    cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    interpret = jax.default_backend() == "cpu"
+
+    logit_sets = []
+    for i, tokens in enumerate(token_sets):
+        inp = tokens[:, :-1] if causal else tokens
+        erng = {"rngs": {"dropout": jax.random.fold_in(rng_emb, i)}}
+        if causal:
+            emb = model.apply(
+                variables, inp, category,
+                method=lambda m, t, c: m.ar_embed(t, c, deterministic=False),
+                **erng)
+        else:
+            emb = model.apply(
+                variables, inp, enc_output, category,
+                method=lambda m, t, e, c: m.nar_embed(
+                    t, e, c, deterministic=False),
+                **erng)
+        seed = jax.random.randint(
+            jax.random.fold_in(rng_seed, i), (1,), 0,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        hidden = fused_bert_layer_train(
+            emb, enc_output, inp == C.PAD, weights, seed,
+            n_head=cfg.num_attention_heads, tb=8, causal=causal,
+            p_hidden=cfg.hidden_dropout_prob, compute_dtype=cdt,
+            out_dtype=cdt, interpret=interpret)
+        logit_sets.append(model.apply(
+            variables, hidden, method=lambda m, h: m.project(h, raw=True)))
+    results["tgt_word_logits"] = logit_sets
+    return results, new_batch_stats
+
+
 def _forward_results(cfg: Config, model: Seq2Seq, variables, batch: Dict,
                      deterministic: bool, dropout_rng=None, mutable=False):
     """Model forward + target wiring (reference misc/run.py:40-86)."""
+    from ..ops.eligibility import fused_train_eligible
+
     feats = [batch["feats_%s" % ch] for ch in cfg.modality.lower()]
     if cfg.visual_word_generation:
         tgt: Any = (batch["tokens_1"], batch["tokens"])
@@ -53,22 +123,28 @@ def _forward_results(cfg: Config, model: Seq2Seq, variables, batch: Dict,
         tgt = batch["tokens"]
     category = batch.get("category")
 
-    kwargs: Dict[str, Any] = {}
-    if dropout_rng is not None:
-        kwargs["rngs"] = {"dropout": dropout_rng}
-    if mutable:
-        kwargs["mutable"] = ["batch_stats"]
-
-    # raw logits: the loss normalizes only at label positions (runtime.crit),
-    # skipping the (B, L, V) log-softmax materialization — float-identical
-    out = model.apply(variables, feats, tgt, category,
-                      deterministic=deterministic, return_logits=True,
-                      **kwargs)
-    if mutable:
-        results, updates = out
-        new_batch_stats = updates.get("batch_stats", {})
+    if (not deterministic and dropout_rng is not None
+            and fused_train_eligible(cfg)):
+        results, new_batch_stats = _fused_train_apply(
+            cfg, model, variables, feats, tgt, category, dropout_rng, mutable)
     else:
-        results, new_batch_stats = out, None
+        kwargs: Dict[str, Any] = {}
+        if dropout_rng is not None:
+            kwargs["rngs"] = {"dropout": dropout_rng}
+        if mutable:
+            kwargs["mutable"] = ["batch_stats"]
+
+        # raw logits: the loss normalizes only at label positions
+        # (runtime.crit), skipping the (B, L, V) log-softmax
+        # materialization — float-identical
+        out = model.apply(variables, feats, tgt, category,
+                          deterministic=deterministic, return_logits=True,
+                          **kwargs)
+        if mutable:
+            results, updates = out
+            new_batch_stats = updates.get("batch_stats", {})
+        else:
+            results, new_batch_stats = out, None
 
     # start index: NAR targets align with inputs, AR targets shift by one
     # (reference misc/run.py:70-82).
