@@ -70,6 +70,11 @@ _SITE_SELF_OUT = 0
 _SITE_CROSS_OUT = 1
 _SITE_FFN_DOWN = 2
 _SITE_FFN_FINAL = 3
+# embedding dropout (reference bert.py:104-107, the LN-output dropout) folded
+# into the kernel input: generating a (B, L, H) threefry mask in XLA cost
+# ~3.3 ms/pass at B=2048; the in-kernel hash mask is ~free. The caller must
+# then run the flax embedding with deterministic=True and pass p_input.
+_SITE_INPUT = 4
 
 
 def _hash24(seed, tile, site: int, rows: int, cols: int):
@@ -184,9 +189,11 @@ def _attend_bwd_heads(dctx, ps, q, k, v, n_head, cdt):
 
 
 def _self_cross_fwd(x, enc, kp, enc_kp, w, seed, tile, *,
-                    n_head, l_pad, le_pad, causal, p, cdt):
+                    n_head, l_pad, le_pad, causal, p, p_input, cdt):
     """Self-attn + cross-attn stages (shared by fwd kernel and attn-bwd
-    recompute — identical op order guarantees bit-exact recompute)."""
+    recompute — identical op order guarantees bit-exact recompute).
+    ``p_input`` applies the folded embedding dropout to x first."""
+    x = _dropmul(x, seed, tile, _SITE_INPUT, p_input)
     tq = x.shape[0]
     tk = enc.shape[0]
     npm = (1.0 - kp)[:, None]
@@ -203,7 +210,7 @@ def _self_cross_fwd(x, enc, kp, enc_kp, w, seed, tile, *,
     o2 = _mm(c2, w["wo_c"][:], cdt) + w["bo_c"][:]
     o2 = _dropmul(o2, seed, tile, _SITE_CROSS_OUT, p)
     r2 = (o2 + r1) * npm
-    return dict(npm=npm, q1=q1, k1=k1, v1=v1, ps1=ps1, c1=c1, r1=r1,
+    return dict(x=x, npm=npm, q1=q1, k1=k1, v1=v1, ps1=ps1, c1=c1, r1=r1,
                 q2=q2, k2=k2, v2=v2, ps2=ps2, c2=c2, r2=r2)
 
 
@@ -213,7 +220,7 @@ def _self_cross_fwd(x, enc, kp, enc_kp, w, seed, tile, *,
 
 
 def _fwd_kernel(seed_ref, x_ref, enc_ref, kp_ref, enc_kp_ref, *refs,
-                n_head, l_pad, le_pad, causal, p, cdt):
+                n_head, l_pad, le_pad, causal, p, p_input, cdt):
     w = {key: r for key, r in zip(WEIGHT_KEYS, refs[:len(WEIGHT_KEYS)])}
     out_ref, r2_ref = refs[len(WEIGHT_KEYS):]
     seed = seed_ref[0]
@@ -221,7 +228,8 @@ def _fwd_kernel(seed_ref, x_ref, enc_ref, kp_ref, enc_kp_ref, *refs,
     x = x_ref[:].astype(jnp.float32)
     st = _self_cross_fwd(
         x, enc_ref[:], kp_ref[:][:, 0], enc_kp_ref[:][:, 0], w, seed, tile,
-        n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal, p=p, cdt=cdt)
+        n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal, p=p,
+        p_input=p_input, cdt=cdt)
     r2, npm = st["r2"], st["npm"]
 
     a = _mm(r2, w["wi"][:], cdt) + w["bi"][:]
@@ -280,7 +288,7 @@ _ATTN_GRAD_KEYS = WEIGHT_KEYS[:16]
 
 
 def _attn_bwd_kernel(seed_ref, x_ref, enc_ref, dr2_ref, kp_ref, enc_kp_ref,
-                     *refs, n_head, l_pad, le_pad, causal, p, cdt):
+                     *refs, n_head, l_pad, le_pad, causal, p, p_input, cdt):
     w = {key: r for key, r in zip(WEIGHT_KEYS, refs[:len(WEIGHT_KEYS)])}
     outs = refs[len(WEIGHT_KEYS):]
     dx_ref, denc_ref = outs[0], outs[1]
@@ -295,7 +303,8 @@ def _attn_bwd_kernel(seed_ref, x_ref, enc_ref, dr2_ref, kp_ref, enc_kp_ref,
     enc_kp = enc_kp_ref[:][:, 0]
     st = _self_cross_fwd(x, enc, kp, enc_kp, w, seed, tile,
                          n_head=n_head, l_pad=l_pad, le_pad=le_pad,
-                         causal=causal, p=p, cdt=cdt)
+                         causal=causal, p=p, p_input=p_input, cdt=cdt)
+    x = st["x"]  # post input-dropout: the tensor the layer actually consumed
     npm = st["npm"]
     dr2 = dr2_ref[:].astype(jnp.float32)
 
@@ -336,6 +345,8 @@ def _attn_bwd_kernel(seed_ref, x_ref, enc_ref, dr2_ref, kp_ref, enc_kp_ref,
     dx = (dx + _mm(dq1, w["wq_s"][:], cdt, dims=((1,), (1,)))
           + _mm(dk1, w["wk_s"][:], cdt, dims=((1,), (1,)))
           + _mm(dv1, w["wv_s"][:], cdt, dims=((1,), (1,))))
+    # chain through the folded input dropout (same mask, elementwise linear)
+    dx = _dropmul(dx, seed, tile, _SITE_INPUT, p_input)
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
     @pl.when(tile == 0)
@@ -381,8 +392,8 @@ def _wspecs(w):
     return specs
 
 
-def _fwd_call(x, enc, kp_mask, weights, seed, *, n_head, tb, causal, p, cdt,
-              interpret, out_dtype):
+def _fwd_call(x, enc, kp_mask, weights, seed, *, n_head, tb, causal, p,
+              p_input, cdt, interpret, out_dtype):
     n, l, h = x.shape
     le = enc.shape[1]
     l_pad = _round_up(l, 8)
@@ -403,7 +414,8 @@ def _fwd_call(x, enc, kp_mask, weights, seed, *, n_head, tb, causal, p, cdt,
     kspec = pl.BlockSpec((tk, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out, r2 = pl.pallas_call(
         functools.partial(_fwd_kernel, n_head=n_head, l_pad=l_pad,
-                          le_pad=le_pad, causal=causal, p=p, cdt=cdt),
+                          le_pad=le_pad, causal=causal, p=p, p_input=p_input,
+                          cdt=cdt),
         grid=(n_pad // tb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   xspec, kspec,
@@ -460,7 +472,7 @@ def _ffn_bwd_call(r2_flat, dy, kp_mask, weights, seed, *, dims, tb, p, cdt,
 
 
 def _attn_bwd_call(x, enc, dr2_flat, kp_mask, weights, seed, *, dims, n_head,
-                   tb, causal, p, cdt, interpret):
+                   tb, causal, p, p_input, cdt, interpret):
     n_pad, l_pad, le_pad = dims
     n, l, h = x.shape
     le = enc.shape[1]
@@ -488,7 +500,8 @@ def _attn_bwd_call(x, enc, dr2_flat, kp_mask, weights, seed, *, dims, n_head,
 
     outs = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, n_head=n_head, l_pad=l_pad,
-                          le_pad=le_pad, causal=causal, p=p, cdt=cdt),
+                          le_pad=le_pad, causal=causal, p=p, p_input=p_input,
+                          cdt=cdt),
         grid=(n_pad // tb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   xspec, kspec, xspec,
@@ -517,7 +530,8 @@ def _attn_bwd_call(x, enc, dr2_flat, kp_mask, weights, seed, *, dims, n_head,
 
 @functools.lru_cache(maxsize=None)
 def _get_layer_fn(n_head: int, tb: int, causal: bool, p: float,
-                  cdt_name: str, interpret: bool, out_dtype_name: str):
+                  p_input: float, cdt_name: str, interpret: bool,
+                  out_dtype_name: str):
     cdt = jnp.dtype(cdt_name)
     out_dtype = jnp.dtype(out_dtype_name)
 
@@ -525,13 +539,14 @@ def _get_layer_fn(n_head: int, tb: int, causal: bool, p: float,
     def layer(x, enc, kp_mask, weights, seed):
         out, _, _ = _fwd_call(x, enc, kp_mask, weights, seed,
                               n_head=n_head, tb=tb, causal=causal, p=p,
-                              cdt=cdt, interpret=interpret, out_dtype=out_dtype)
+                              p_input=p_input, cdt=cdt, interpret=interpret,
+                              out_dtype=out_dtype)
         return out
 
     def fwd_rule(x, enc, kp_mask, weights, seed):
         out, r2, dims = _fwd_call(x, enc, kp_mask, weights, seed,
                                   n_head=n_head, tb=tb, causal=causal, p=p,
-                                  cdt=cdt, interpret=interpret,
+                                  p_input=p_input, cdt=cdt, interpret=interpret,
                                   out_dtype=out_dtype)
         return out, (x, enc, kp_mask, weights, seed, r2, dims)
 
@@ -542,8 +557,8 @@ def _get_layer_fn(n_head: int, tb: int, causal: bool, p: float,
             dims=dims, tb=tb, p=p, cdt=cdt, interpret=interpret)
         dx, denc, attn_grads = _attn_bwd_call(
             x, enc, dr2, kp_mask, weights, seed,
-            dims=dims, n_head=n_head, tb=tb, causal=causal, p=p, cdt=cdt,
-            interpret=interpret)
+            dims=dims, n_head=n_head, tb=tb, causal=causal, p=p,
+            p_input=p_input, cdt=cdt, interpret=interpret)
         dweights = {}
         for key in WEIGHT_KEYS:
             if key == "wi":
@@ -574,6 +589,7 @@ def fused_bert_layer_train(x: jnp.ndarray, enc: jnp.ndarray,
                            seed: jnp.ndarray, *,
                            n_head: int = 8, tb: int = 8,
                            causal: bool = False, p_hidden: float = 0.5,
+                           p_input: float = 0.0,
                            compute_dtype=jnp.bfloat16,
                            out_dtype=jnp.float32,
                            interpret: bool = False) -> jnp.ndarray:
@@ -589,6 +605,6 @@ def fused_bert_layer_train(x: jnp.ndarray, enc: jnp.ndarray,
     (N, L, H) layer output; gradients flow to x, enc, and every weight.
     """
     return _get_layer_fn(n_head, tb, bool(causal), float(p_hidden),
-                         jnp.dtype(compute_dtype).name, bool(interpret),
-                         jnp.dtype(out_dtype).name)(
+                         float(p_input), jnp.dtype(compute_dtype).name,
+                         bool(interpret), jnp.dtype(out_dtype).name)(
         x, enc, kp_mask, weights, seed)

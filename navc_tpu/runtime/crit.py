@@ -88,6 +88,36 @@ def perplexity_stats(logprobs: jnp.ndarray, labels: jnp.ndarray,
     return -(gathered * mask).sum(), n
 
 
+def _label_logprob(lp: jnp.ndarray, lab: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(log-softmax of ``lp`` gathered at ``lab``, argmax of ``lp``).
+
+    ``lp`` holds RAW logits and may arrive bf16 (production train path):
+    reductions cast in-register (f32 accumulate) and the gather casts its
+    few elements — value-identical to casting the whole (B, L, V) tensor
+    first, without materializing it at f32 width.
+
+    The label logit is picked by a one-hot masked SUM, not take_along_axis:
+    a lane-dimension gather over (B, L, V) serializes on TPU (measured
+    57.6 -> 13.7 ms for the standalone loss fwd+bwd at B=2048, V=10048),
+    while the masked reduction fuses with the sum-exp pass over the same
+    input. Exactly one element per row is non-zero, so the f32-accumulated
+    sum is bit-identical to the gather. argmax shares the same streaming
+    pass over lp (and is invariant to the log-softmax shift), so word-acc
+    costs no extra sweep.
+    """
+    m = jnp.max(lp, axis=-1, keepdims=True).astype(jnp.float32)
+    lse = jnp.log(jnp.sum(
+        jnp.exp(lp.astype(jnp.float32) - m), axis=-1))
+    sel = (jax.lax.broadcasted_iota(jnp.int32, lp.shape, lp.ndim - 1)
+           == lab[..., None])
+    g = jnp.sum(jnp.where(sel, lp, jnp.zeros((), lp.dtype))
+                .astype(jnp.float32), axis=-1)
+    gathered = (g - m[..., 0]) - lse
+    pred = jnp.argmax(lp, axis=-1)
+    return gathered, pred
+
+
 def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Aggregate criterion (reference Criterion.get_loss, crit.py:156-181).
@@ -127,27 +157,10 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
     lang_loss = jnp.zeros((), jnp.float32)
     for i, (w, lp, lab) in enumerate(zip(weights, logprob_sets, label_sets)):
         if from_logits:
-            # lp may arrive bf16 (production train path): reductions cast
-            # in-register (f32 accumulate) and the gather casts its few
-            # elements — value-identical to casting the whole (B, L, V)
-            # tensor first, without materializing it at f32 width.
-            # The label logit is picked by a one-hot masked SUM, not
-            # take_along_axis: a lane-dimension gather over (B, L, V)
-            # serializes on TPU (measured 57.6 -> 13.7 ms for the standalone
-            # loss fwd+bwd at B=2048, V=10048), while the masked reduction
-            # fuses with the sum-exp pass over the same input. Exactly one
-            # element per row is non-zero, so the f32-accumulated sum is
-            # bit-identical to the gather.
-            m = jnp.max(lp, axis=-1, keepdims=True).astype(jnp.float32)
-            lse = jnp.log(jnp.sum(
-                jnp.exp(lp.astype(jnp.float32) - m), axis=-1))
-            sel = (jax.lax.broadcasted_iota(jnp.int32, lp.shape, lp.ndim - 1)
-                   == lab[..., None])
-            g = jnp.sum(jnp.where(sel, lp, jnp.zeros((), lp.dtype))
-                        .astype(jnp.float32), axis=-1)
-            gathered = (g - m[..., 0]) - lse
+            gathered, pred = _label_logprob(lp, lab)
         else:
             gathered = jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]
+            pred = None
         nonpad = (lab != C.PAD).astype(jnp.float32)
         mask = nonpad if valid_mask is None else nonpad * valid_mask[:, None]
         nll = -(gathered * mask).sum()
@@ -158,7 +171,8 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
             ind = ind & (lab != C.MASK)
         if valid_mask is not None:
             ind = ind & (valid_mask[:, None] > 0)
-        pred = jnp.argmax(lp, axis=-1)
+        if pred is None:
+            pred = jnp.argmax(lp, axis=-1)
         metrics["word_acc%d_correct" % i] = \
             ((pred == lab) & ind).sum().astype(jnp.float32)
         metrics["word_acc%d_count" % i] = ind.sum().astype(jnp.float32)

@@ -85,25 +85,25 @@ def _fused_train_apply(cfg: Config, model: Seq2Seq, variables, feats, tgt,
     logit_sets = []
     for i, tokens in enumerate(token_sets):
         inp = tokens[:, :-1] if causal else tokens
-        erng = {"rngs": {"dropout": jax.random.fold_in(rng_emb, i)}}
+        # the embedding's LN-output dropout is folded into the kernel input
+        # (p_input) — a (B, L, H) threefry mask in XLA cost ~3.3 ms/pass —
+        # so the flax embedding runs deterministic here
         if causal:
             emb = model.apply(
                 variables, inp, category,
-                method=lambda m, t, c: m.ar_embed(t, c, deterministic=False),
-                **erng)
+                method=lambda m, t, c: m.ar_embed(t, c))
         else:
             emb = model.apply(
                 variables, inp, enc_output, category,
-                method=lambda m, t, e, c: m.nar_embed(
-                    t, e, c, deterministic=False),
-                **erng)
+                method=lambda m, t, e, c: m.nar_embed(t, e, c))
         seed = jax.random.randint(
             jax.random.fold_in(rng_seed, i), (1,), 0,
             jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         hidden = fused_bert_layer_train(
             emb, enc_output, inp == C.PAD, weights, seed,
             n_head=cfg.num_attention_heads, tb=8, causal=causal,
-            p_hidden=cfg.hidden_dropout_prob, compute_dtype=cdt,
+            p_hidden=cfg.hidden_dropout_prob,
+            p_input=cfg.hidden_dropout_prob, compute_dtype=cdt,
             out_dtype=cdt, interpret=interpret)
         logit_sets.append(model.apply(
             variables, hidden, method=lambda m, h: m.project(h, raw=True)))

@@ -144,7 +144,8 @@ def test_dropout_finite_difference():
         out = fused_bert_layer_train(
             x, enc, tokens == C.PAD, weights, seed,
             n_head=cfg.num_attention_heads, tb=2, causal=False,
-            p_hidden=0.5, compute_dtype=jnp.float32, interpret=True)
+            p_hidden=0.5, p_input=0.3, compute_dtype=jnp.float32,
+            interpret=True)
         return jnp.sum(out * g_out)
 
     val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(emb, enc, weights)
