@@ -245,7 +245,8 @@ def measure_arb(batch_size: int = 1024, profile: bool = False):
     from navc_tpu.runtime.train_step import make_encode_fn
 
     cfg = default_config("ARB", dataset="MSRVTT",
-                         vocab_size=10048, batch_size=batch_size)
+                         vocab_size=10048, batch_size=batch_size,
+                         use_pallas=True)
     model = build_model(cfg)
     variables = init_params(model, jax.random.PRNGKey(0), cfg)
     gen = make_ar_generator(cfg, model)

@@ -76,7 +76,8 @@ def _append_finished(state: BeamState, eligible: jnp.ndarray,
         fin_lens=fin_lens[:, :f], fin_count=new_count)
 
 
-def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
+def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
+                      return_hidden: bool = False):
     """Incremental (KV-cached) decode step for the 1-layer decoder.
 
     The reference recomputes the whole prefix every token (Translator.py:108,
@@ -129,15 +130,20 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
         mul = jax.lax.rsqrt(var + eps) * ln_scale
         return (x - mu) * mul + ln_bias
 
-    n = enc_tiled.shape[0]
+    b = enc.shape[0]
+    n = b * k
     cat_vec = 0.0
     if cfg.with_category and cat_tiled is not None:
         cat_vec = jnp.asarray(emb_p["category_embeddings"]["embedding"])[
             cat_tiled.reshape(n, -1)[:, 0]]
 
-    # cross-attention K/V: position-invariant, computed once per decode
-    ke = dense(enc_tiled, w["wk_c"], w["bk_c"]).reshape(n, -1, nh, dh)
-    ve = dense(enc_tiled, w["wv_c"], w["bv_c"]).reshape(n, -1, nh, dh)
+    # cross-attention K/V: position-invariant AND identical across the k
+    # beams of an instance (they come from the shared enc_output), so they
+    # are computed once per decode over b rows, not b*k — the beam axis
+    # rides the einsum batch instead (5x less HBM traffic on both cross
+    # contractions; profiled at 1.1 ms/step of the tiled layout's cost)
+    ke = dense(enc, w["wk_c"], w["bk_c"]).reshape(b, -1, nh, dh)
+    ve = dense(enc, w["wv_c"], w["bv_c"]).reshape(b, -1, nh, dh)
 
     def attend(q, kcache, vcache, mask):
         # same einsum contractions as models.layers.attention_core
@@ -150,6 +156,20 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
                                jnp.asarray(MASK_FILL, scores.dtype), scores)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         out = jnp.einsum("nhl,nlhd->nhd", probs.astype(dt), vcache.astype(dt),
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.float32).reshape(n, h)
+
+    def attend_cross(q):
+        # same per-row dh-contractions as attend(); the beam axis k is a
+        # batch dim so each (row, head, enc-pos) dot is bit-identical to the
+        # tiled layout's — only the batching shape differs
+        dt = jnp.float32 if f32 else jnp.bfloat16
+        qb = q.reshape(b, k, nh, dh)
+        scores = jnp.einsum("bkhd,blhd->bkhl", qb.astype(dt), ke.astype(dt),
+                            preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(dh)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bkhl,blhd->bkhd", probs.astype(dt), ve.astype(dt),
                          preferred_element_type=jnp.float32)
         return out.astype(jnp.float32).reshape(n, h)
 
@@ -183,13 +203,15 @@ def _make_cached_step(cfg: Config, model, variables, enc_tiled, cat_tiled):
         att = (out + x) * npm
 
         qc = dense(att, w["wq_c"], w["bq_c"]).reshape(n, nh, dh)
-        outc = dense(attend(qc, ke, ve, None), w["wo_c"], w["bo_c"])
+        outc = dense(attend_cross(qc), w["wo_c"], w["bo_c"])
         att = (outc + att) * npm
 
         inter = act(dense(att, w["wi"], w["bi"]))
         down = dense(inter, w["wo2"], w["bo2"])
         h_t = (down + att) * npm
 
+        if return_hidden:
+            return h_t, kcache, vcache
         logits = model.apply(variables, h_t, method=lambda m, hh: m.project(hh))
         return logits, kcache, vcache
 
@@ -252,15 +274,42 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
 
         enc_output = enc_results["enc_output"]
         b = enc_output.shape[0]
-        enc_tiled = enlarge(enc_output, k)
         cat_tiled = None if category is None else enlarge(category, k)
 
         use_cache = kv_cached_beam_eligible(cfg)
         if use_cache:
-            cached_step = _make_cached_step(cfg, model, variables,
-                                            enc_tiled, cat_tiled)
+            import os
+
+            from ..ops.beam_permute import (beam_permute_eligible,
+                                            permute_beam_caches)
+            from ..ops.eligibility import fused_vocab_eligible
+            from ..ops.vocab_fused import (fused_project_topk,
+                                           projection_weights)
             nh = cfg.num_attention_heads
             dh = cfg.dim_hidden // nh
+            itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
+            on_device = jax.default_backend() != "cpu"
+            use_permute_kernel = (
+                cfg.use_pallas
+                and on_device
+                and beam_permute_eligible(b, k, max_len * nh * dh, itemsize)
+                and not os.environ.get("NAVC_NO_PERMUTE_KERNEL"))
+            # fused projection+top-k: device-only so the CPU parity oracles
+            # keep the one-pass lse arithmetic (the kernel's online-softmax
+            # normalizer can differ by ~1 ulp — a per-row constant, see
+            # ops/vocab_fused.py fused_project_topk)
+            use_topk_kernel = (
+                cfg.use_pallas
+                and on_device
+                and fused_vocab_eligible(cfg)
+                and not os.environ.get("NAVC_NO_TOPK_KERNEL"))
+            cached_step = _make_cached_step(cfg, model, variables,
+                                            enc_output, cat_tiled, k,
+                                            return_hidden=use_topk_kernel)
+            if use_topk_kernel:
+                w_proj, b_proj = projection_weights(cfg, variables["params"])
+        else:
+            enc_tiled = enlarge(enc_output, k)
 
         seqs = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(C.BOS)
         state = BeamState(
@@ -284,14 +333,20 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                 # beam*V always lies inside the per-beam top-k sets, with
                 # flattened tie order preserved (beam-major, vocab-ascending
                 # within a beam), so selection is token-identical.
-                logits, kc, vc = cached_step(
+                out, kc, vc = cached_step(
                     state.seqs.reshape(b * k, max_len), kc, vc, t)
-                mrow = jnp.max(logits, axis=-1, keepdims=True)
-                lse = jnp.log(jnp.sum(jnp.exp(logits - mrow), axis=-1,
-                                      keepdims=True))
-                top_logit, top_idx = jax.lax.top_k(logits, k)
-                wp_top = ((top_logit - mrow) - lse).reshape(b, k, k)
-                ids_top = top_idx.astype(jnp.int32).reshape(b, k, k)
+                if use_topk_kernel:
+                    wp_k, ids_k = fused_project_topk(out, w_proj, k,
+                                                     bias=b_proj)
+                    wp_top = wp_k.reshape(b, k, k)
+                    ids_top = ids_k.reshape(b, k, k)
+                else:
+                    mrow = jnp.max(out, axis=-1, keepdims=True)
+                    lse = jnp.log(jnp.sum(jnp.exp(out - mrow), axis=-1,
+                                          keepdims=True))
+                    top_logit, top_idx = jax.lax.top_k(out, k)
+                    wp_top = ((top_logit - mrow) - lse).reshape(b, k, k)
+                    ids_top = top_idx.astype(jnp.int32).reshape(b, k, k)
 
                 def first_step():
                     return (wp_top[:, 0, :], jnp.zeros((b, k), jnp.int32),
@@ -337,17 +392,22 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
 
             if use_cache:
                 # the cache follows beam ancestry exactly like the sequences
-                # (bf16 storage in the production dtype halves the bytes the
-                # k-way select chain moves; a one-hot einsum permute was
-                # measured SLOWER — the M=K=5 batched matmul tiles terribly)
-                kc = jnp.take_along_axis(
-                    kc.reshape(b, k, max_len, nh, dh),
-                    prev_k[:, :, None, None, None], axis=1
-                ).reshape(b * k, max_len, nh, dh)
-                vc = jnp.take_along_axis(
-                    vc.reshape(b, k, max_len, nh, dh),
-                    prev_k[:, :, None, None, None], axis=1
-                ).reshape(b * k, max_len, nh, dh)
+                if use_permute_kernel:
+                    # one-pass block-diagonal one-hot permute of BOTH caches
+                    # on the MXU (ops/beam_permute.py) — XLA's lowering of
+                    # the same take_along_axis is a select_n chain + gather,
+                    # profiled at ~3x the traffic (an XLA one-hot einsum was
+                    # also tried: the M=K=5 batched matmul tiles terribly)
+                    kc, vc = permute_beam_caches(kc, vc, prev_k, k)
+                else:
+                    kc = jnp.take_along_axis(
+                        kc.reshape(b, k, max_len, nh, dh),
+                        prev_k[:, :, None, None, None], axis=1
+                    ).reshape(b * k, max_len, nh, dh)
+                    vc = jnp.take_along_axis(
+                        vc.reshape(b, k, max_len, nh, dh),
+                        prev_k[:, :, None, None, None], axis=1
+                    ).reshape(b * k, max_len, nh, dh)
 
             reordered = jnp.take_along_axis(
                 state.seqs, prev_k[:, :, None], axis=1)

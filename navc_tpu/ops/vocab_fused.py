@@ -221,6 +221,136 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
     return prob[:n, 0]
 
 
+def _topk_kernel(h_ref, w_ref, *refs, tv: int, v_real: int, k: int,
+                 has_bias: bool):
+    if has_bias:
+        b_ref, wp_ref, ids_ref, m_scr, s_scr, tv_scr, ti_scr = refs
+    else:
+        wp_ref, ids_ref, m_scr, s_scr, tv_scr, ti_scr = refs
+    j = pl.program_id(1)
+    scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    if has_bias:
+        scores = scores + b_ref[:]
+    if v_real % tv:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
+        scores = jnp.where(col < v_real, scores, NEG_INF)
+
+    tile_max = jnp.max(scores, axis=-1, keepdims=True)
+    s_tile = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
+
+    # tile-local top-k by iterative extraction: argmax picks the FIRST max,
+    # so ties resolve lowest-vocab-id-first — lax.top_k's order exactly
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    vals = scores
+    t_vals, t_ids = [], []
+    for _ in range(k):
+        mx = jnp.max(vals, axis=-1, keepdims=True)
+        am = jnp.argmax(vals, axis=-1)[:, None].astype(jnp.int32)
+        t_vals.append(mx)
+        t_ids.append(am + j * tv)
+        vals = jnp.where(lane == am, NEG_INF, vals)
+    tile_v = jnp.concatenate(t_vals, axis=-1)  # (TN, k) descending
+    tile_i = jnp.concatenate(t_ids, axis=-1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = tile_max
+        s_scr[:] = s_tile
+        tv_scr[:] = tile_v
+        ti_scr[:] = tile_i
+
+    @pl.when(j > 0)
+    def _update():
+        m_old = m_scr[:]
+        new_m = jnp.maximum(m_old, tile_max)
+        s_scr[:] = (s_scr[:] * jnp.exp(m_old - new_m)
+                    + s_tile * jnp.exp(tile_max - new_m))
+        m_scr[:] = new_m
+        # merge running top-k (earlier tiles = lower vocab ids, placed first
+        # so equal values keep lax.top_k's lowest-index tie order)
+        cv = jnp.concatenate([tv_scr[:], tile_v], axis=-1)  # (TN, 2k)
+        ci = jnp.concatenate([ti_scr[:], tile_i], axis=-1)
+        cl = jax.lax.broadcasted_iota(jnp.int32, cv.shape, 1)
+        nv, ni = [], []
+        for _ in range(k):
+            mx = jnp.max(cv, axis=-1, keepdims=True)
+            am = jnp.argmax(cv, axis=-1)[:, None].astype(jnp.int32)
+            pick = cl == am
+            nv.append(mx)
+            ni.append(jnp.sum(jnp.where(pick, ci, 0), axis=-1, keepdims=True))
+            cv = jnp.where(pick, NEG_INF, cv)
+        tv_scr[:] = jnp.concatenate(nv, axis=-1)
+        ti_scr[:] = jnp.concatenate(ni, axis=-1)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        # normalized log-probs: (logit - max) - log(sum-exp). The online
+        # rescaled sum-exp can differ from a one-pass sum by ~1 ulp — a
+        # per-row constant, so within-row order is untouched
+        wp_ref[:] = (tv_scr[:] - m_scr[:]) - jnp.log(s_scr[:])
+        ids_ref[:] = ti_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tn", "tv", "interpret"))
+def fused_project_topk(h: jnp.ndarray, w: jnp.ndarray,
+                       k: int,
+                       bias: Optional[jnp.ndarray] = None,
+                       tn: int = 512, tv: int = 2048,
+                       interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row top-k of log_softmax(h @ w (+ bias)) without logits in HBM.
+
+    The AR beam step needs only the k best token log-probs per beam row
+    (reference models/Beam.py:68-79 takes topk(beam_size) of the word
+    probs); materializing (N, V) logits for lax.top_k costs two full HBM
+    passes. Returns (logprobs (N, k) f32 descending, ids (N, k) int32),
+    tie order identical to lax.top_k (lowest vocab id first).
+    """
+    n, d = h.shape
+    v = w.shape[1]
+    n_pad = _round_up(max(n, 8), tn)
+    v_pad = _round_up(v, tv)
+    h_p = (h.astype(jnp.bfloat16) if n == n_pad else
+           jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16)))
+    w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
+    has_bias = bias is not None
+    inputs = [h_p, w_p]
+    in_specs = [
+        pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        b_p = jnp.zeros((1, v_pad), jnp.float32).at[0, :v].set(
+            bias.astype(jnp.float32))
+        inputs.append(b_p)
+        in_specs.append(
+            pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM))
+
+    grid = (n_pad // tn, v_pad // tv)
+    wp, ids = pl.pallas_call(
+        functools.partial(_topk_kernel, tv=tv, v_real=v, k=k,
+                          has_bias=has_bias),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tn, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, k), jnp.float32),
+            pltpu.VMEM((tn, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return wp[:n], ids[:n]
+
+
 def reference_project_argmax(h, w):
     """jnp reference for tests: full materialization."""
     logits = (h.astype(jnp.float32) @ w.astype(jnp.float32))

@@ -279,3 +279,53 @@ def test_tied_weights_fused_generator():
     b = np.asarray(make_nar_generator(cfg.replace(use_pallas=True), model,
                                       jit=False)(variables, enc, None))
     assert (a == b).mean() > 0.9, (a, b)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("b,k", [(16, 5), (32, 3)])
+def test_beam_permute_kernel_interpret(b, k, dtype):
+    """One-hot MXU cache permute == take_along_axis, exactly, both dtypes."""
+    from navc_tpu.ops.beam_permute import (beam_permute_eligible,
+                                           permute_beam_caches)
+
+    max_len, nh, dh = 6, 2, 64  # m = 768, a multiple of 128
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    assert beam_permute_eligible(b, k, max_len * nh * dh, dt.dtype.itemsize)
+    rng = np.random.RandomState(3)
+    kc = jnp.asarray(rng.randn(b * k, max_len, nh, dh)).astype(dt)
+    vc = jnp.asarray(rng.randn(b * k, max_len, nh, dh)).astype(dt)
+    prev_k = jnp.asarray(rng.randint(0, k, (b, k)), jnp.int32)
+
+    okc, ovc = permute_beam_caches(kc, vc, prev_k, k, interpret=True)
+    ref_kc = jnp.take_along_axis(
+        kc.reshape(b, k, max_len, nh, dh),
+        prev_k[:, :, None, None, None], axis=1).reshape(kc.shape)
+    ref_vc = jnp.take_along_axis(
+        vc.reshape(b, k, max_len, nh, dh),
+        prev_k[:, :, None, None, None], axis=1).reshape(vc.shape)
+    np.testing.assert_array_equal(np.asarray(okc), np.asarray(ref_kc))
+    np.testing.assert_array_equal(np.asarray(ovc), np.asarray(ref_vc))
+
+
+@pytest.mark.parametrize("n,v,k", [(100, 1000, 5), (260, 2100, 3)])
+def test_fused_project_topk_interpret(n, v, k):
+    """Fused top-k == lax.top_k over log_softmax logits (same bf16 inputs)."""
+    from navc_tpu.ops.vocab_fused import fused_project_topk
+
+    rng = np.random.RandomState(7)
+    h = jnp.asarray(rng.randn(n, 64).astype(np.float32))
+    w = jnp.asarray((rng.randn(64, v) * 0.1).astype(np.float32))
+    bias = jnp.asarray(rng.randn(v).astype(np.float32) * 0.05)
+    wp, ids = fused_project_topk(h, w, k, bias=bias, tn=128, tv=512,
+                                 interpret=True)
+    h16 = h.astype(jnp.bfloat16).astype(jnp.float32)
+    w16 = w.astype(jnp.bfloat16).astype(jnp.float32)
+    logits = h16 @ w16 + bias
+    rv, ri = jax.lax.top_k(logits, k)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    ids, wp, ri = map(np.asarray, (ids, wp, ri))
+    rwp = np.asarray(rv - lse)
+    match = (ids == ri).mean()
+    assert match > 0.999, match
+    agree = ids == ri
+    np.testing.assert_allclose(wp[agree], rwp[agree], rtol=1e-5, atol=1e-5)
