@@ -77,7 +77,8 @@ def _append_finished(state: BeamState, eligible: jnp.ndarray,
 
 
 def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
-                      return_hidden: bool = False):
+                      return_hidden: bool = False,
+                      fused_attend: bool = False):
     """Incremental (KV-cached) decode step for the 1-layer decoder.
 
     The reference recomputes the whole prefix every token (Translator.py:108,
@@ -145,6 +146,12 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
     ke = dense(enc, w["wk_c"], w["bk_c"]).reshape(b, -1, nh, dh)
     ve = dense(enc, w["wv_c"], w["bv_c"]).reshape(b, -1, nh, dh)
 
+    # one fused QKV projection per step: concatenated kernels give bitwise
+    # the same per-column dots as three separate dense calls, at a third of
+    # the dispatch overhead inside the while_loop
+    w_qkv = jnp.concatenate([w["wq_s"], w["wk_s"], w["wv_s"]], axis=1)
+    b_qkv = jnp.concatenate([w["bq_s"], w["bk_s"], w["bv_s"]], axis=0)
+
     def attend(q, kcache, vcache, mask):
         # same einsum contractions as models.layers.attention_core
         dt = jnp.float32 if f32 else jnp.bfloat16
@@ -173,9 +180,27 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
                          preferred_element_type=jnp.float32)
         return out.astype(jnp.float32).reshape(n, h)
 
-    def step(seqs_flat, kcache, vcache, t):
-        """(seqs (N, L), caches (N, L, nh, dh), t) -> (logprobs (N, V),
-        updated caches). Computes hidden for position t-1."""
+    def finish_layer(self_att, x, npm, fused_cross=False):
+        out = dense(self_att, w["wo_s"], w["bo_s"])
+        att = (out + x) * npm
+
+        qc = dense(att, w["wq_c"], w["bq_c"])
+        if fused_cross:
+            crossed = cross_attend(qc, ke_flat, ve_flat, k=k, nh=nh)
+        else:
+            crossed = attend_cross(qc.reshape(n, nh, dh))
+        outc = dense(crossed, w["wo_c"], w["bo_c"])
+        att = (outc + att) * npm
+
+        inter = act(dense(att, w["wi"], w["bi"]))
+        down = dense(inter, w["wo2"], w["bo2"])
+        h_t = (down + att) * npm
+
+        if return_hidden:
+            return h_t
+        return model.apply(variables, h_t, method=lambda m, hh: m.project(hh))
+
+    def embed_qkv(seqs_flat, t):
         tok = jax.lax.dynamic_slice_in_dim(seqs_flat, t - 1, 1, axis=1)[:, 0]
         pos = jax.lax.dynamic_slice_in_dim(pos_table, t - 1, 1, axis=0)[0]
         emb = word_table[tok] + pos[None, :]
@@ -183,10 +208,16 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
             emb = emb + cat_vec
         x = layernorm(emb)
         npm = (tok != C.PAD).astype(jnp.float32)[:, None]
+        qkv = dense(x, w_qkv, b_qkv)
+        return x, npm, qkv
 
-        q = dense(x, w["wq_s"], w["bq_s"]).reshape(n, nh, dh)
-        kt = dense(x, w["wk_s"], w["bk_s"]).reshape(n, nh, dh)
-        vt = dense(x, w["wv_s"], w["bv_s"]).reshape(n, nh, dh)
+    def step(seqs_flat, kcache, vcache, t):
+        """(seqs (N, L), caches (N, L, nh, dh), t) -> (logprobs (N, V),
+        updated caches). Computes hidden for position t-1."""
+        x, npm, qkv = embed_qkv(seqs_flat, t)
+        q = qkv[:, :h].reshape(n, nh, dh)
+        kt = qkv[:, h:2 * h].reshape(n, nh, dh)
+        vt = qkv[:, 2 * h:].reshape(n, nh, dh)
         # bf16 cache writes are lossless in bf16 mode (kt/vt are f32 casts
         # of bf16 values from dense())
         kcache = jax.lax.dynamic_update_slice_in_dim(
@@ -199,23 +230,42 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
         l = seqs_flat.shape[1]
         jpos = jnp.arange(l)[None, :]
         mask = (jpos > (t - 1)) | (seqs_flat == C.PAD)
-        out = dense(attend(q, kcache, vcache, mask), w["wo_s"], w["bo_s"])
-        att = (out + x) * npm
+        self_att = attend(q, kcache, vcache, mask)
+        return finish_layer(self_att, x, npm), kcache, vcache
 
-        qc = dense(att, w["wq_c"], w["bq_c"]).reshape(n, nh, dh)
-        outc = dense(attend_cross(qc), w["wo_c"], w["bo_c"])
-        att = (outc + att) * npm
+    if not fused_attend:
+        return step
 
-        inter = act(dense(att, w["wi"], w["bi"]))
-        down = dense(inter, w["wo2"], w["bo2"])
-        h_t = (down + att) * npm
+    from ..models.layers import MASK_FILL as _MF
+    from ..ops.beam_attend import (beam_attend_step, cross_attend,
+                                   cross_attend_eligible)
 
-        if return_hidden:
-            return h_t, kcache, vcache
-        logits = model.apply(variables, h_t, method=lambda m, hh: m.project(hh))
-        return logits, kcache, vcache
+    le = ke.shape[1]
+    fused_cross = cross_attend_eligible(b, le, h)
+    if fused_cross:
+        ke_flat = ke.reshape(b, le * h).astype(jnp.float32)
+        ve_flat = ve.reshape(b, le * h).astype(jnp.float32)
 
-    return step
+    def step_fused(seqs_flat, kc2, vc2, prev_k, t):
+        """Fused variant: caches are flat (N, L*h); the beam-ancestry
+        permute from the PREVIOUS selection is applied lazily inside the
+        kernel (ops/beam_attend.py) together with the append and the
+        attention — the caches never pass through an XLA op, so the carry
+        keeps the kernel's row-major layout (no transpose copies)."""
+        x, npm, qkv = embed_qkv(seqs_flat, t)
+        q = qkv[:, :h]
+        kt = qkv[:, h:2 * h]
+        vt = qkv[:, 2 * h:]
+        l = seqs_flat.shape[1]
+        jpos = jnp.arange(l)[None, :]
+        mask = (jpos > (t - 1)) | (seqs_flat == C.PAD)
+        amask = jnp.where(mask, jnp.float32(_MF), jnp.float32(0.0))
+        kc2, vc2, self_att = beam_attend_step(
+            kc2, vc2, q, kt, vt, prev_k, amask, t - 1,
+            k=k, nh=nh, l=l)
+        return finish_layer(self_att, x, npm, fused_cross), kc2, vc2
+
+    return step_fused
 
 
 def make_ar_generator(cfg: Config, model, jit: bool = True):
@@ -280,6 +330,7 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         if use_cache:
             import os
 
+            from ..ops.beam_attend import beam_attend_eligible
             from ..ops.beam_permute import (beam_permute_eligible,
                                             permute_beam_caches)
             from ..ops.eligibility import fused_vocab_eligible
@@ -289,9 +340,18 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             dh = cfg.dim_hidden // nh
             itemsize = 2 if cfg.compute_dtype == "bfloat16" else 4
             on_device = jax.default_backend() != "cpu"
+            # fully-fused permute+append+attend (ops/beam_attend.py): owns
+            # the caches end-to-end; subsumes the standalone permute kernel
+            use_fused_attend = (
+                cfg.use_pallas
+                and on_device
+                and beam_attend_eligible(b, k, max_len, cfg.dim_hidden,
+                                         itemsize)
+                and not os.environ.get("NAVC_NO_ATTEND_KERNEL"))
             use_permute_kernel = (
                 cfg.use_pallas
                 and on_device
+                and not use_fused_attend
                 and beam_permute_eligible(b, k, max_len * nh * dh, itemsize)
                 and not os.environ.get("NAVC_NO_PERMUTE_KERNEL"))
             # fused projection+top-k: device-only so the CPU parity oracles
@@ -305,16 +365,22 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                 and not os.environ.get("NAVC_NO_TOPK_KERNEL"))
             cached_step = _make_cached_step(cfg, model, variables,
                                             enc_output, cat_tiled, k,
-                                            return_hidden=use_topk_kernel)
+                                            return_hidden=use_topk_kernel,
+                                            fused_attend=use_fused_attend)
             if use_topk_kernel:
                 w_proj, b_proj = projection_weights(cfg, variables["params"])
         else:
             enc_tiled = enlarge(enc_output, k)
 
         seqs = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(C.BOS)
+        # slots 1..k-1 start at NEG_BIG so step 1 needs no special case: all
+        # beams score identical logits, slot 0's k candidates dominate the
+        # k*k top-k at the same flat positions (beam-major, vocab-ascending)
+        # as a dedicated beam-0 draw — Beam.py:78-79's "first step reads only
+        # beam 0" falls out of the generic step with zero extra ops
         state = BeamState(
             seqs=seqs,
-            scores=jnp.zeros((b, k)),
+            scores=jnp.full((b, k), NEG_BIG).at[:, 0].set(0.0),
             fin_seqs=jnp.zeros((b, specific, max_len), jnp.int32),
             fin_scores=jnp.zeros((b, specific)),
             fin_lens=jnp.zeros((b, specific), jnp.int32),
@@ -322,7 +388,7 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             done=jnp.zeros((b,), bool),
         )
 
-        def step(state: BeamState, kc, vc, t):
+        def step(state: BeamState, kc, vc, pk, t):
             if use_cache:
                 # Candidate-only normalization: top-k per beam runs on RAW
                 # logits (log_softmax subtracts per-row scalars, so indices
@@ -333,8 +399,12 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                 # beam*V always lies inside the per-beam top-k sets, with
                 # flattened tie order preserved (beam-major, vocab-ascending
                 # within a beam), so selection is token-identical.
-                out, kc, vc = cached_step(
-                    state.seqs.reshape(b * k, max_len), kc, vc, t)
+                if use_fused_attend:
+                    out, kc, vc = cached_step(
+                        state.seqs.reshape(b * k, max_len), kc, vc, pk, t)
+                else:
+                    out, kc, vc = cached_step(
+                        state.seqs.reshape(b * k, max_len), kc, vc, t)
                 if use_topk_kernel:
                     wp_k, ids_k = fused_project_topk(out, w_proj, k,
                                                      bias=b_proj)
@@ -348,51 +418,37 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                     wp_top = ((top_logit - mrow) - lse).reshape(b, k, k)
                     ids_top = top_idx.astype(jnp.int32).reshape(b, k, k)
 
-                def first_step():
-                    return (wp_top[:, 0, :], jnp.zeros((b, k), jnp.int32),
-                            ids_top[:, 0, :])
-
-                def later_step():
-                    last = jnp.take_along_axis(
-                        state.seqs,
-                        jnp.full((b, k, 1), 1, jnp.int32) * (t - 1),
-                        axis=2)[..., 0]
-                    cand = wp_top + state.scores[:, :, None]
-                    cand = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, cand)
-                    best_scores, best_flat = jax.lax.top_k(
-                        cand.reshape(b, k * k), k)
-                    prev_k = (best_flat // k).astype(jnp.int32)
-                    next_word = jnp.take_along_axis(
-                        ids_top.reshape(b, k * k), best_flat, axis=1)
-                    return best_scores, prev_k, next_word
+                last = jnp.take_along_axis(
+                    state.seqs,
+                    jnp.full((b, k, 1), 1, jnp.int32) * (t - 1),
+                    axis=2)[..., 0]
+                cand = wp_top + state.scores[:, :, None]
+                cand = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, cand)
+                best_scores, best_flat = jax.lax.top_k(
+                    cand.reshape(b, k * k), k)
+                prev_k = (best_flat // k).astype(jnp.int32)
+                next_word = jnp.take_along_axis(
+                    ids_top.reshape(b, k * k), best_flat, axis=1)
             else:
                 wp = decode_step(variables, state.seqs.reshape(b * k, max_len),
                                  enc_tiled, cat_tiled, t).reshape(b, k, -1)
                 v = wp.shape[-1]
 
                 # --- advance (Beam.py:68-117) -----------------------------
-                def first_step():
-                    flat = wp[:, 0, :]
-                    best_scores, best_ids = jax.lax.top_k(flat, k)
-                    prev_k = jnp.zeros((b, k), jnp.int32)
-                    next_word = best_ids.astype(jnp.int32)
-                    return best_scores, prev_k, next_word
-
-                def later_step():
-                    last = jnp.take_along_axis(
-                        state.seqs, jnp.full((b, k, 1), 1, jnp.int32) * (t - 1), axis=2)[..., 0]
-                    beam_lk = wp + state.scores[:, :, None]
-                    beam_lk = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, beam_lk)
-                    best_scores, best_ids = jax.lax.top_k(beam_lk.reshape(b, k * v), k)
-                    prev_k = (best_ids // v).astype(jnp.int32)
-                    next_word = (best_ids - prev_k * v).astype(jnp.int32)
-                    return best_scores, prev_k, next_word
-
-            best_scores, prev_k, next_word = jax.lax.cond(t == 1, first_step, later_step)
+                last = jnp.take_along_axis(
+                    state.seqs, jnp.full((b, k, 1), 1, jnp.int32) * (t - 1), axis=2)[..., 0]
+                beam_lk = wp + state.scores[:, :, None]
+                beam_lk = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, beam_lk)
+                best_scores, best_ids = jax.lax.top_k(beam_lk.reshape(b, k * v), k)
+                prev_k = (best_ids // v).astype(jnp.int32)
+                next_word = (best_ids - prev_k * v).astype(jnp.int32)
 
             if use_cache:
                 # the cache follows beam ancestry exactly like the sequences
-                if use_permute_kernel:
+                if use_fused_attend:
+                    # lazily: next step's kernel permutes with this prev_k
+                    pk = prev_k
+                elif use_permute_kernel:
                     # one-pass block-diagonal one-hot permute of BOTH caches
                     # on the MXU (ops/beam_permute.py) — XLA's lowering of
                     # the same take_along_axis is a select_n chain + gather,
@@ -433,7 +489,7 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             st = _append_finished(st, fallback, best_scores, new_seqs, t, specific)
 
             st = st._replace(done=st.done | newly_done | jnp.full((b,), False))
-            return st, kc, vc
+            return st, kc, vc, pk
 
         # while_loop instead of a fixed scan: stops as soon as every instance
         # has collected its hypotheses — typical captions finish in ~1/3 of
@@ -441,13 +497,13 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         # the reference's fixed token loop (Translator.py:148-157 exits via
         # the same all-done condition but recomputes full prefixes serially)
         def cond(carry):
-            st, kc, vc, t = carry
+            st, kc, vc, pk, t = carry
             return (t < max_len) & ~jnp.all(st.done)
 
         def body(carry):
-            st, kc, vc, t = carry
-            st, kc, vc = step(st, kc, vc, t)
-            return st, kc, vc, t + 1
+            st, kc, vc, pk, t = carry
+            st, kc, vc, pk = step(st, kc, vc, pk, t)
+            return st, kc, vc, pk, t + 1
 
         if use_cache:
             # bf16 storage in the production dtype is LOSSLESS: the cached
@@ -456,13 +512,23 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             # test dtype keeps f32 so the NAVC_NO_KVCACHE A/B stays exact
             cdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                    else jnp.float32)
-            kc0 = jnp.zeros((b * k, max_len, nh, dh), cdt)
-            vc0 = jnp.zeros((b * k, max_len, nh, dh), cdt)
+            if use_fused_attend:
+                # flat 2-D caches: only the fused kernel ever touches them,
+                # so the carry keeps its row-major layout end-to-end; the
+                # pending ancestry permute rides the carry as pk0 (identity
+                # at t=1: the caches are still all-zero)
+                kc0 = jnp.zeros((b * k, max_len * cfg.dim_hidden), cdt)
+                vc0 = jnp.zeros((b * k, max_len * cfg.dim_hidden), cdt)
+            else:
+                kc0 = jnp.zeros((b * k, max_len, nh, dh), cdt)
+                vc0 = jnp.zeros((b * k, max_len, nh, dh), cdt)
+            pk0 = jnp.zeros((b, k), jnp.int32)
         else:  # unused dummies keep one while_loop signature
             kc0 = jnp.zeros((), jnp.float32)
             vc0 = jnp.zeros((), jnp.float32)
-        state, _, _, _ = jax.lax.while_loop(
-            cond, body, (state, kc0, vc0, jnp.asarray(1)))
+            pk0 = jnp.zeros((), jnp.int32)
+        state, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (state, kc0, vc0, pk0, jnp.asarray(1)))
 
         # --- sort_finished (Beam.py:123-130) ------------------------------
         valid = jnp.arange(specific)[None, :] < state.fin_count[:, None]

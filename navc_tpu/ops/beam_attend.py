@@ -1,0 +1,329 @@
+"""Fully-fused AR beam-search attention step (permute + append + attend).
+
+One beam-search decode step touches the per-beam K/V caches three times in
+the XLA formulation (decoding/beam.py): the beam-ancestry permute, the
+dynamic_update_slice appending the new position, and the attention reads.
+Worse, XLA prefers an N-minor cache layout for the attention contractions
+but Pallas custom calls require row-major operands, so a standalone permute
+kernel pays two full layout-transpose copies per step (profiled: ~2 ms/step
+at B=1024·k=5 on top of ~1 ms of kernel/attend time).
+
+This kernel owns the cache end-to-end, so the while-loop carry never passes
+through an XLA op and keeps the kernel's row-major 2-D layout:
+
+  (kc, vc, q, k_t, v_t, ancestors, mask, t) -> (kc', vc', attn_out)
+
+per (16·k)-row block and l-tile it
+  1. permutes both caches by beam ancestry with a block-diagonal one-hot
+     matmul on the MXU (exact selection — every output element is one
+     ``1.0 * x`` product, held exactly by the f32 accumulator);
+  2. overwrites position t-1 with the new K/V row (the ancestry of the
+     just-generated token is the row itself: q/k_t/v_t are computed from
+     the already-permuted sequence buffer);
+  3. computes the causal cached attention with an online (flash) softmax —
+     per-head dot products via segment-indicator matmuls, so the head
+     structure never needs a register reshape (Mosaic kernels stay 2-D).
+
+l-tiles beyond the current prefix are clamped in the BlockSpec index maps
+(same block index => Mosaic elides the re-fetch) and skipped by ``pl.when``,
+so per-step HBM traffic is ~2 * t/L * cache bytes instead of the XLA
+formulation's ~4 passes over the full cache.
+
+Numerics: the permute/append are exact; attention sums and the online
+softmax normalizer can differ from the XLA einsum formulation by rounding
+(different f32 summation order, flash rescaling). The kernel is gated
+device-only (decoding/beam.py) so the CPU parity oracles keep the XLA
+arithmetic; reference behavior replicated: models/Translator.py:108 +
+attention masking of models/SubLayers.py (-10e6 fill, f32 softmax).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .beam_permute import _GROUP
+
+MASK_NEG = -1e30
+
+
+def pick_ltile(l: int, h: int) -> int:
+    """Largest divisor of l with tile width l_tile*h lanes <= ~4096."""
+    cap = max(1, 4096 // h)
+    for tl in range(min(l, cap), 0, -1):
+        if l % tl == 0:
+            return tl
+    return 1
+
+
+def beam_attend_eligible(b: int, k: int, l: int, h: int,
+                         itemsize: int) -> bool:
+    r = _GROUP * k
+    tl = pick_ltile(l, h)
+    vmem = 4 * r * tl * h * itemsize + 6 * r * h * 4
+    return (b % _GROUP == 0 and h % 128 == 0
+            and vmem <= 10 * 1024 * 1024)
+
+
+def _kernel(tpos_ref, idx_ref, q_ref, kt_ref, vt_ref, amask_ref,
+            kc_ref, vc_ref, okc_ref, ovc_ref, att_ref,
+            m_scr, s_scr, o_scr, *,
+            rows: int, tl: int, h: int, nh: int, dh: int):
+    j = pl.program_id(1)
+    nl = pl.num_programs(1)
+    tpos = tpos_ref[0]
+    jmax = tpos // tl
+    inv_sqrt_dh = 1.0 / math.sqrt(dh)
+    # segment matmuls carry REAL f32 values (exact products, softmax
+    # weights), so they must not take the TPU default bf16 matmul pass —
+    # HIGHEST keeps them f32-accurate (tiny (R, h) x (h, nh) shapes)
+    hi = jax.lax.Precision.HIGHEST
+    cprec = (hi if kc_ref.dtype == jnp.float32
+             else jax.lax.Precision.DEFAULT)
+
+    # segment indicators: head-sum (h, nh) and head-broadcast (nh, h)
+    hgrp = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 0) // dh
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 1)
+    seg = (hgrp == hcol).astype(jnp.float32)  # (h, nh)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full((rows, nh), MASK_NEG, jnp.float32)
+        s_scr[:] = jnp.zeros((rows, nh), jnp.float32)
+        o_scr[:] = jnp.zeros((rows, h), jnp.float32)
+
+    @pl.when(j <= jmax)
+    def _work():
+        local = idx_ref[:]  # (rows, 1) block-local ancestor rows
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        p = (col == local).astype(kc_ref.dtype)
+        kp = jnp.dot(p, kc_ref[:], precision=cprec,
+                     preferred_element_type=jnp.float32)
+        vp = jnp.dot(p, vc_ref[:], precision=cprec,
+                     preferred_element_type=jnp.float32)
+        rel = tpos - j * tl  # append slot within this tile (>= tl if none)
+        q = q_ref[:]
+
+        for lp in range(tl):
+            is_app = lp == rel
+            kseg = jnp.where(is_app, kt_ref[:], kp[:, lp * h:(lp + 1) * h])
+            vseg = jnp.where(is_app, vt_ref[:], vp[:, lp * h:(lp + 1) * h])
+            # store through the cache dtype (lossless for the one-hot
+            # permute; matches the XLA path's bf16 cache writes for k_t)
+            kseg = kseg.astype(okc_ref.dtype)
+            vseg = vseg.astype(ovc_ref.dtype)
+            okc_ref[:, lp * h:(lp + 1) * h] = kseg
+            ovc_ref[:, lp * h:(lp + 1) * h] = vseg
+
+            # lanes beyond the decoded prefix hold UNSPECIFIED data: output
+            # tiles past the clamp are never written (their garbage can be
+            # NaN/Inf), so every accumulator update must be select-guarded —
+            # the additive mask alone cannot neutralize a NaN score
+            pos_valid = (j * tl + lp) <= tpos
+
+            # per-head dots: exact f32 products of the stored values,
+            # summed on the MXU via the segment indicator
+            prod = q * kseg.astype(jnp.float32)
+            sl = jnp.dot(prod, seg, precision=hi,
+                         preferred_element_type=jnp.float32)
+            sl = jnp.where(pos_valid,
+                           sl * inv_sqrt_dh + amask_ref[:, lp][:, None],
+                           MASK_NEG)
+
+            # online-softmax update
+            m_old = m_scr[:]
+            m_new = jnp.maximum(m_old, sl)
+            resc = jnp.exp(m_old - m_new)
+            pw = jnp.where(pos_valid, jnp.exp(sl - m_new), 0.0)
+            s_scr[:] = s_scr[:] * resc + pw
+            rb = jnp.dot(resc, seg.T, precision=hi,
+                         preferred_element_type=jnp.float32)
+            pb = jnp.dot(pw, seg.T, precision=hi,
+                         preferred_element_type=jnp.float32)
+            contrib = jnp.where(pos_valid,
+                                pb * vseg.astype(jnp.float32), 0.0)
+            o_scr[:] = o_scr[:] * rb + contrib
+            m_scr[:] = m_new
+
+    @pl.when(j == nl - 1)
+    def _finish():
+        sb = jnp.dot(s_scr[:], seg.T, precision=hi,
+                     preferred_element_type=jnp.float32)
+        att_ref[:] = o_scr[:] / sb
+
+
+def _cross_kernel(q_ref, ke_ref, ve_ref, att_ref, *,
+                  rows: int, k: int, le: int, h: int, nh: int, dh: int):
+    inv_sqrt_dh = 1.0 / math.sqrt(dh)
+    # all payloads here are REAL f32 values — HIGHEST avoids the TPU
+    # default bf16 matmul truncation (see beam_attend._kernel)
+    hi = jax.lax.Precision.HIGHEST
+    hgrp = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 0) // dh
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 1)
+    seg = (hgrp == hcol).astype(jnp.float32)
+    # instance -> beam-row broadcast: row r reads instance r // k
+    rinst = jax.lax.broadcasted_iota(jnp.int32, (rows, rows // k), 0) // k
+    cinst = jax.lax.broadcasted_iota(jnp.int32, (rows, rows // k), 1)
+    exp = (rinst == cinst).astype(jnp.float32)  # (rows, n_inst)
+
+    q = q_ref[:]
+    m = jnp.full((rows, nh), MASK_NEG, jnp.float32)
+    s = jnp.zeros((rows, nh), jnp.float32)
+    o = jnp.zeros((rows, h), jnp.float32)
+    for lp in range(le):
+        kseg = jnp.dot(exp, ke_ref[:, lp * h:(lp + 1) * h], precision=hi,
+                       preferred_element_type=jnp.float32)
+        vseg = jnp.dot(exp, ve_ref[:, lp * h:(lp + 1) * h], precision=hi,
+                       preferred_element_type=jnp.float32)
+        prod = q * kseg
+        sl = jnp.dot(prod, seg, precision=hi,
+                     preferred_element_type=jnp.float32) * inv_sqrt_dh
+        m_new = jnp.maximum(m, sl)
+        resc = jnp.exp(m - m_new)
+        pw = jnp.exp(sl - m_new)
+        s = s * resc + pw
+        rb = jnp.dot(resc, seg.T, precision=hi,
+                     preferred_element_type=jnp.float32)
+        pb = jnp.dot(pw, seg.T, precision=hi,
+                   preferred_element_type=jnp.float32)
+        o = o * rb + pb * vseg
+        m = m_new
+    sb = jnp.dot(s, seg.T, precision=hi,
+                 preferred_element_type=jnp.float32)
+    att_ref[:] = o / sb
+
+
+def cross_attend_eligible(b: int, le: int, h: int) -> bool:
+    return (b % _GROUP == 0 and h % 128 == 0
+            and _GROUP * le * h * 4 * 2 <= 8 * 1024 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nh", "interpret"))
+def cross_attend(q: jnp.ndarray, ke: jnp.ndarray, ve: jnp.ndarray,
+                 k: int, nh: int, interpret: bool = False) -> jnp.ndarray:
+    """Beam cross-attention with per-instance K/V shared across k beams.
+
+    q: (b*k, h) f32; ke, ve: (b, le*h) flat f32 enc-side K/V (identical for
+    the k beams of an instance — reference models/SubLayers.py cross
+    attention over enc_output, mask-free in the cached beam path). Returns
+    softmax(q K^T / sqrt(dh)) V as (b*k, h) f32. XLA's einsum formulation
+    of the same contraction shuffles tiny (b, k, nh, le) tensors between
+    layouts (profiled 1.4 ms/step at B=1024·k=5); here the beam broadcast
+    is a one-hot MXU matmul and heads ride segment indicators.
+    """
+    n, h = q.shape
+    b = n // k
+    le = ke.shape[1] // h
+    r = _GROUP * k
+    assert b % _GROUP == 0 and h % 128 == 0
+    dh = h // nh
+
+    grid = (n // r,)
+    att = pl.pallas_call(
+        functools.partial(_cross_kernel, rows=r, k=k, le=le, h=h, nh=nh,
+                          dh=dh),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GROUP, le * h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GROUP, le * h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        interpret=interpret,
+    )(q, ke, ve)
+    return att
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "nh", "l", "interpret"))
+def beam_attend_step(kc: jnp.ndarray, vc: jnp.ndarray,
+                     q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
+                     prev_k: jnp.ndarray, amask: jnp.ndarray,
+                     tpos: jnp.ndarray, k: int, nh: int, l: int,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused cached-attention beam step.
+
+    kc, vc: (N, l*h) flat caches (N = b*k); q, kt, vt: (N, h) f32 values
+    for position ``tpos`` (bf16-valued in the production dtype); prev_k:
+    (b, k) int32 ancestor slots from the PREVIOUS selection; amask: (N, l)
+    f32 additive key mask (0 valid / -1e7-style fill); tpos: () int32
+    position being decoded (t-1). Returns (kc', vc', att (N, h) f32).
+
+    Cache positions > tpos are UNSPECIFIED in the outputs (their l-tiles
+    are clamped away and never written); they are correspondingly never
+    read into the attention math — callers must treat the caches as opaque
+    carries, which decoding/beam.py does.
+    """
+    n, m = kc.shape
+    h = q.shape[1]
+    assert m == l * h
+    b = n // k
+    r = _GROUP * k
+    tl = pick_ltile(l, h)
+    nl = l // tl
+    tm = tl * h
+    assert b % _GROUP == 0 and h % 128 == 0, (b, h)
+    dh = h // nh
+
+    src = ((jnp.arange(n, dtype=jnp.int32) // k) * k
+           + prev_k.astype(jnp.int32).reshape(n))
+    local = (src % r).reshape(n, 1)
+    tpos_arr = jnp.asarray(tpos, jnp.int32).reshape(1)
+
+    # re-pack the (N, l) mask to 128 lanes per l-tile (Mosaic requires lane
+    # blocks divisible by 128); lanes >= tl per tile are never read
+    lane = jnp.arange(nl * 128)
+    src_l = jnp.minimum((lane // 128) * tl + (lane % 128), l - 1)
+    amask_p = jnp.take(amask, src_l, axis=1)
+
+    def cache_map(i, j, tpos_ref):
+        return (i, jnp.minimum(j, tpos_ref[0] // tl))
+
+    def row_map(i, j, tpos_ref):
+        return (i, 0)
+
+    grid = (n // r, nl)
+    kco, vco, att = pl.pallas_call(
+        functools.partial(_kernel, rows=r, tl=tl, h=h, nh=nh, dh=dh),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((r, 1), row_map),
+                pl.BlockSpec((r, h), row_map),
+                pl.BlockSpec((r, h), row_map),
+                pl.BlockSpec((r, h), row_map),
+                pl.BlockSpec((r, 128), cache_map),
+                pl.BlockSpec((r, tm), cache_map),
+                pl.BlockSpec((r, tm), cache_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((r, tm), cache_map),
+                pl.BlockSpec((r, tm), cache_map),
+                pl.BlockSpec((r, h), row_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((r, nh), jnp.float32),
+                pltpu.VMEM((r, nh), jnp.float32),
+                pltpu.VMEM((r, h), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, m), kc.dtype),
+            jax.ShapeDtypeStruct((n, m), vc.dtype),
+            jax.ShapeDtypeStruct((n, h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tpos_arr, local, q, kt, vt, amask_p, kc, vc)
+    return kco, vco, att

@@ -46,10 +46,15 @@ def _kernel(idx_ref, kc_ref, vc_ref, okc_ref, ovc_ref, *, rows: int):
     local = idx_ref[:]  # (R, 1) int32: block-local source row per output row
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
     p = (col == local).astype(kc_ref.dtype)
-    okc_ref[:] = jnp.dot(p, kc_ref[:],
+    # f32 payloads need HIGHEST: the TPU default matmul pass truncates f32
+    # operands to bf16, breaking the exact-selection argument; bf16x6
+    # reconstructs 1.0 * x exactly (bf16 payloads are exact in one pass)
+    prec = (jax.lax.Precision.HIGHEST if kc_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    okc_ref[:] = jnp.dot(p, kc_ref[:], precision=prec,
                          preferred_element_type=jnp.float32
                          ).astype(okc_ref.dtype)
-    ovc_ref[:] = jnp.dot(p, vc_ref[:],
+    ovc_ref[:] = jnp.dot(p, vc_ref[:], precision=prec,
                          preferred_element_type=jnp.float32
                          ).astype(ovc_ref.dtype)
 

@@ -8,6 +8,11 @@ every Pallas kernel needs both). Single process; safe on the TPU tunnel.
 Usage: python scripts/kernel_device_parity.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,8 +49,12 @@ def check_project_topk():
     bias = jnp.asarray(rng.randn(v).astype(np.float32) * 0.02)
     for b_arg in (None, bias):
         wp, ids = fused_project_topk(h, w, k, bias=b_arg)
-        logits = (h.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16)
-                  ).astype(jnp.float32)
+        # reference mirrors the kernel's arithmetic: exact f32 accumulation
+        # of bf16-rounded inputs (a plain bf16 @ bf16 would round the
+        # OUTPUT to bf16 and scramble near-tied rankings)
+        logits = jnp.matmul(h.astype(jnp.bfloat16).astype(jnp.float32),
+                            w.astype(jnp.bfloat16).astype(jnp.float32),
+                            precision=jax.lax.Precision.HIGHEST)
         if b_arg is not None:
             logits = logits + b_arg
         rv, ri = jax.lax.top_k(logits, k)
@@ -61,8 +70,75 @@ def check_project_topk():
               f"ids match {match:.6f}, logprobs within 1e-5")
 
 
+def check_beam_attend():
+    from navc_tpu.ops.beam_attend import beam_attend_eligible, beam_attend_step
+    b, k, l, nh, dh = 64, 5, 30, 8, 64
+    h = nh * dh
+    n = b * k
+    assert beam_attend_eligible(b, k, l, h, 2)
+    rng = np.random.RandomState(2)
+    tpos = 7
+    kc = jnp.asarray(rng.randn(n, l * h)).astype(jnp.bfloat16)
+    vc = jnp.asarray(rng.randn(n, l * h)).astype(jnp.bfloat16)
+    wiped = jnp.arange(l * h) >= tpos * h
+    kc = jnp.where(wiped[None, :], 0, kc)
+    vc = jnp.where(wiped[None, :], 0, vc)
+    q = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    kt = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    vt = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    prev_k = jnp.asarray(rng.randint(0, k, (b, k)), jnp.int32)
+    maskb = np.arange(l)[None, :] > tpos
+    amask = jnp.asarray(np.where(maskb, -1e7, 0.0).astype(np.float32))
+    amask = jnp.broadcast_to(amask, (n, l))
+    kco, vco, att = beam_attend_step(kc, vc, q, kt, vt, prev_k, amask,
+                                     tpos, k=k, nh=nh, l=l)
+    src = (np.arange(n) // k) * k + np.asarray(prev_k).reshape(n)
+    rkc = np.asarray(kc, np.float32)[src].reshape(n, l, h)
+    rvc = np.asarray(vc, np.float32)[src].reshape(n, l, h)
+    rkc[:, tpos] = np.asarray(kt.astype(jnp.bfloat16), np.float32)
+    rvc[:, tpos] = np.asarray(vt.astype(jnp.bfloat16), np.float32)
+    lim = (tpos + 1) * h  # positions > tpos are unspecified (clamped tiles)
+    np.testing.assert_array_equal(np.asarray(kco, np.float32)[:, :lim],
+                                  rkc.reshape(n, l * h)[:, :lim])
+    np.testing.assert_array_equal(np.asarray(vco, np.float32)[:, :lim],
+                                  rvc.reshape(n, l * h)[:, :lim])
+    qh = np.asarray(q).reshape(n, nh, dh)
+    sc = (np.einsum("nhd,nlhd->nhl", qh, rkc.reshape(n, l, nh, dh))
+          / np.sqrt(dh)) + np.asarray(amask)[:, None, :]
+    pr = np.exp(sc - sc.max(-1, keepdims=True))
+    pr /= pr.sum(-1, keepdims=True)
+    ref = np.einsum("nhl,nlhd->nhd", pr,
+                    rvc.reshape(n, l, nh, dh)).reshape(n, h)
+    np.testing.assert_allclose(np.asarray(att), ref, rtol=5e-5, atol=5e-5)
+    print("beam_attend: caches exact, attention within 5e-5")
+
+
+def check_cross_attend():
+    from navc_tpu.ops.beam_attend import cross_attend, cross_attend_eligible
+    b, k, le, nh, dh = 64, 5, 16, 8, 64
+    h = nh * dh
+    n = b * k
+    assert cross_attend_eligible(b, le, h)
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    ke = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
+    ve = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
+    att = cross_attend(q, ke, ve, k=k, nh=nh)
+    qh = np.asarray(q).reshape(b, k, nh, dh)
+    kh = np.asarray(ke).reshape(b, le, nh, dh)
+    vh = np.asarray(ve).reshape(b, le, nh, dh)
+    sc = np.einsum("bkhd,blhd->bkhl", qh, kh) / np.sqrt(dh)
+    pr = np.exp(sc - sc.max(-1, keepdims=True))
+    pr /= pr.sum(-1, keepdims=True)
+    ref = np.einsum("bkhl,blhd->bkhd", pr, vh).reshape(n, h)
+    np.testing.assert_allclose(np.asarray(att), ref, rtol=5e-5, atol=5e-5)
+    print("cross_attend: within 5e-5")
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_beam_permute()
     check_project_topk()
+    check_beam_attend()
+    check_cross_attend()
     print("OK")

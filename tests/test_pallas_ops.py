@@ -329,3 +329,80 @@ def test_fused_project_topk_interpret(n, v, k):
     assert match > 0.999, match
     agree = ids == ri
     np.testing.assert_allclose(wp[agree], rwp[agree], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("tpos", [0, 3, 5])
+def test_beam_attend_step_interpret(dtype, tpos):
+    """Fused permute+append+attend == the XLA formulation (per-step)."""
+    from navc_tpu.ops.beam_attend import beam_attend_eligible, beam_attend_step
+
+    b, k, l, nh, dh = 16, 5, 6, 2, 64
+    h = nh * dh
+    n = b * k
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    assert beam_attend_eligible(b, k, l, h, dt.dtype.itemsize)
+    rng = np.random.RandomState(4)
+    kc = jnp.asarray(rng.randn(n, l * h)).astype(dt)
+    vc = jnp.asarray(rng.randn(n, l * h)).astype(dt)
+    # zero out positions >= tpos like a real decode (never written yet)
+    wiped = jnp.arange(l * h) >= tpos * h
+    kc = jnp.where(wiped[None, :], 0, kc)
+    vc = jnp.where(wiped[None, :], 0, vc)
+    q = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    kt = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    vt = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    prev_k = jnp.asarray(rng.randint(0, k, (b, k)), jnp.int32)
+    mask_bool = rng.rand(n, l) < 0.2
+    mask_bool[:, tpos] = False          # the appended position is visible
+    mask_bool |= np.arange(l)[None, :] > tpos  # causal
+    amask = jnp.asarray(np.where(mask_bool, -1e7, 0.0).astype(np.float32))
+
+    kco, vco, att = beam_attend_step(kc, vc, q, kt, vt, prev_k, amask,
+                                     tpos, k=k, nh=nh, l=l, interpret=True)
+
+    # reference: permute rows, overwrite position tpos, masked attention
+    src = (np.arange(n) // k) * k + np.asarray(prev_k).reshape(n)
+    rkc = np.asarray(kc, np.float32)[src].reshape(n, l, h)
+    rvc = np.asarray(vc, np.float32)[src].reshape(n, l, h)
+    rkc[:, tpos] = np.asarray(kt.astype(dt), np.float32)
+    rvc[:, tpos] = np.asarray(vt.astype(dt), np.float32)
+    # positions > tpos are unspecified in the outputs (clamped tiles)
+    lim = (tpos + 1) * h
+    np.testing.assert_array_equal(np.asarray(kco, np.float32)[:, :lim],
+                                  rkc.reshape(n, l * h)[:, :lim])
+    np.testing.assert_array_equal(np.asarray(vco, np.float32)[:, :lim],
+                                  rvc.reshape(n, l * h)[:, :lim])
+    qh = np.asarray(q).reshape(n, nh, dh)
+    kh = rkc.reshape(n, l, nh, dh)
+    vh = rvc.reshape(n, l, nh, dh)
+    scores = np.einsum("nhd,nlhd->nhl", qh, kh) / np.sqrt(dh)
+    scores = scores + np.asarray(amask)[:, None, :]
+    pr = np.exp(scores - scores.max(-1, keepdims=True))
+    pr = pr / pr.sum(-1, keepdims=True)
+    ref = np.einsum("nhl,nlhd->nhd", pr, vh).reshape(n, h)
+    np.testing.assert_allclose(np.asarray(att), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attend_interpret():
+    """Fused beam cross-attention == per-row einsum attention."""
+    from navc_tpu.ops.beam_attend import cross_attend, cross_attend_eligible
+
+    b, k, le, nh, dh = 16, 5, 4, 2, 64
+    h = nh * dh
+    n = b * k
+    assert cross_attend_eligible(b, le, h)
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(n, h).astype(np.float32))
+    ke = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
+    ve = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
+    att = cross_attend(q, ke, ve, k=k, nh=nh, interpret=True)
+
+    qh = np.asarray(q).reshape(b, k, nh, dh)
+    kh = np.asarray(ke).reshape(b, le, nh, dh)
+    vh = np.asarray(ve).reshape(b, le, nh, dh)
+    sc = np.einsum("bkhd,blhd->bkhl", qh, kh) / np.sqrt(dh)
+    pr = np.exp(sc - sc.max(-1, keepdims=True))
+    pr = pr / pr.sum(-1, keepdims=True)
+    ref = np.einsum("bkhl,blhd->bkhd", pr, vh).reshape(n, h)
+    np.testing.assert_allclose(np.asarray(att), ref, rtol=2e-5, atol=2e-5)
