@@ -102,12 +102,11 @@ def decode_flops_per_caption(cfg, n_enc_positions: int) -> float:
         attn_self = 2 * 2 * q * L * d          # scores + apply
         out_proj = 2 * q * d * d
         q_cross = 2 * q * d * d
-        kv_cross = 2 * 2 * Te * d * d
         attn_cross = 2 * 2 * q * Te * d
         cross_out = 2 * q * d * d
         ffn_flops = 2 * 2 * q * d * ffn
         vocab = 2 * q * d * V
-        return (q_proj + kv_self + attn_self + out_proj + q_cross + kv_cross +
+        return (q_proj + kv_self + attn_self + out_proj + q_cross +
                 attn_cross + cross_out + ffn_flops + vocab)
 
     from navc_tpu.ops.eligibility import fused_sparse_eligible
@@ -119,7 +118,13 @@ def decode_flops_per_caption(cfg, n_enc_positions: int) -> float:
         else:
             widths.append(L)         # dense step (CT completion or no sparse)
     widths.append(L)                 # AR teacher rescoring forward
-    return sum(fwd(q) for q in widths) * cfg.length_beam_size
+    # cross-attention K/V are hoisted out of the refinement loop and
+    # computed ONCE per video (student) + once for the teacher
+    # (ops/fused_layer.py::hoist_cross_kv); they no longer scale with
+    # forwards or length-beam rows
+    kv_cross_once = 2 * 2 * 2 * Te * d * d
+    return (sum(fwd(q) for q in widths) * cfg.length_beam_size
+            + kv_cross_once)
 
 
 def arb_flops_per_caption(cfg, n_enc_positions: int, cached: bool) -> float:

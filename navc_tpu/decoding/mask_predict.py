@@ -60,7 +60,8 @@ def _pad_pos_table(table: jnp.ndarray, l: int) -> jnp.ndarray:
 def _predict_fn(model, variables, ctx: NARContext,
                 cfg: Optional[Config] = None,
                 want_attentions: bool = False,
-                canvas_len: Optional[int] = None) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+                canvas_len: Optional[int] = None,
+                enc_unique: Optional[jnp.ndarray] = None) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """One NAR decoder forward -> (argmax ids, max probs).
 
     Reference generate_step_with_prob + generate_non_autoregressive
@@ -120,6 +121,18 @@ def _predict_fn(model, variables, ctx: NARContext,
             l = canvas_len or cfg.max_len
             n_rows = ctx.enc_output.shape[0]
             enc16 = ctx.enc_output.astype(jnp.bfloat16)
+            # cross-attention K/V depend only on enc_output — identical for
+            # every refinement iteration AND every length-beam row of a
+            # video; project once per video (pre-enlarge rows when the
+            # caller provides them) and tile the result
+            from ..ops.fused_layer import hoist_cross_kv
+            if enc_unique is not None:
+                enc_kv = tuple(
+                    enlarge(t, cfg.length_beam_size)
+                    for t in hoist_cross_kv(enc_unique.astype(jnp.bfloat16),
+                                            layer_w))
+            else:
+                enc_kv = hoist_cross_kv(enc16, layer_w)
             # iteration-invariant embedding parts: position (+category)
             # (+mean-pooled enc for enhance_input == 2) — hoisted out of the
             # refinement scan
@@ -140,10 +153,11 @@ def _predict_fn(model, variables, ctx: NARContext,
                 # 116.0 TFLOP/s at tb=4); the qsub call keeps tb=4 (its K/V
                 # footprint scales with tb, see its call site)
                 hidden = fused_nar_decoder_layer(
-                    raw, enc16, tokens == C.PAD, layer_w,
+                    raw, None, tokens == C.PAD, layer_w,
                     n_head=cfg.num_attention_heads, tb=8, interpret=interpret,
                     static=static, ln_scale=ln_scale, ln_bias=ln_bias,
-                    ln_eps=cfg.layer_norm_eps, out_dtype=jnp.bfloat16)
+                    ln_eps=cfg.layer_norm_eps, out_dtype=jnp.bfloat16,
+                    enc_kv=enc_kv)
                 n, l2, hdim = hidden.shape
                 ids, maxp = fused_project_argmax(
                     hidden.reshape(n * l2, hdim), w, w_bias,
@@ -165,10 +179,10 @@ def _predict_fn(model, variables, ctx: NARContext,
                 # extra Q rows gain (4742 vs 4511 captions/s at tb<=16)
                 hidden_q = fused_nar_decoder_layer_qsub(
                     sel, word_table[C.MASK], word_table[masked], static,
-                    enc16, masked == C.PAD, layer_w,
+                    None, masked == C.PAD, layer_w,
                     ln_scale, ln_bias, n_head=cfg.num_attention_heads, tb=4,
                     interpret=interpret, ln_eps=cfg.layer_norm_eps,
-                    out_dtype=jnp.bfloat16)
+                    out_dtype=jnp.bfloat16, enc_kv=enc_kv)
                 n, k, hdim = hidden_q.shape
                 ids, maxp = fused_project_argmax(
                     hidden_q.reshape(n * k, hdim), w, w_bias,
@@ -202,7 +216,8 @@ def _predict_fn(model, variables, ctx: NARContext,
 
 
 def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
-                      cfg: Optional[Config] = None):
+                      cfg: Optional[Config] = None,
+                      enc_unique: Optional[jnp.ndarray] = None):
     """AR teacher per-token probabilities (algorithms.py:175-204)."""
     from ..ops.eligibility import fused_teacher_eligible
     tcfg = teacher_model.cfg
@@ -219,7 +234,15 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
         emb_p = teacher_variables["params"]["decoder"]["embedding"]
         word_table = jnp.asarray(
             emb_p["word_embeddings"]["embedding"]).astype(jnp.bfloat16)
-        tenc16 = ctx.teacher_enc_output.astype(jnp.bfloat16)
+        from ..ops.fused_layer import hoist_cross_kv
+        if enc_unique is not None and cfg is not None:
+            tenc_kv = tuple(
+                enlarge(t, cfg.length_beam_size)
+                for t in hoist_cross_kv(enc_unique.astype(jnp.bfloat16),
+                                        layer_w))
+        else:
+            tenc_kv = hoist_cross_kv(
+                ctx.teacher_enc_output.astype(jnp.bfloat16), layer_w)
         interpret = jax.default_backend() == "cpu"
 
         def score(tokens: jnp.ndarray, pad_mask: jnp.ndarray) -> jnp.ndarray:
@@ -237,12 +260,13 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
                     ctx.teacher_category.reshape(n, -1)[:, 0]]
                 static = static + cat[:, None, :]
             hidden = fused_nar_decoder_layer(
-                word_table[inp], tenc16, inp == C.PAD, layer_w,
+                word_table[inp], None, inp == C.PAD, layer_w,
                 n_head=tcfg.num_attention_heads, tb=8, causal=True,
                 interpret=interpret, static=static.astype(jnp.bfloat16),
                 ln_scale=emb_p["LayerNorm"]["scale"],
                 ln_bias=emb_p["LayerNorm"]["bias"],
-                ln_eps=tcfg.layer_norm_eps, out_dtype=jnp.bfloat16)
+                ln_eps=tcfg.layer_norm_eps, out_dtype=jnp.bfloat16,
+                enc_kv=tenc_kv)
             probs = fused_project_gather_prob(
                 hidden.reshape(n * l, hidden.shape[-1]), w, t.reshape(n * l),
                 w_bias, interpret=interpret).reshape(n, l)
@@ -616,10 +640,13 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
         )
         predict = _predict_fn(model, variables, ctx, cfg,
                               want_attentions=collect_attentions,
-                              canvas_len=run_len)
+                              canvas_len=run_len,
+                              enc_unique=enc_results["enc_output"])
         teacher_score = None
         if use_teacher and teacher_variables is not None and ctx.teacher_enc_output is not None:
-            teacher_score = _teacher_score_fn(teacher_model, teacher_variables, ctx, cfg)
+            teacher_score = _teacher_score_fn(
+                teacher_model, teacher_variables, ctx, cfg,
+                enc_unique=teacher_enc_results["enc_output"])
 
         if collect:
             hyp, lprobs, collected = algorithm(

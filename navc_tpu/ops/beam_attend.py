@@ -52,6 +52,13 @@ from .beam_permute import _GROUP
 
 MASK_NEG = -1e30
 
+import os as _os
+
+_PREC = {"default": jax.lax.Precision.DEFAULT,
+         "high": jax.lax.Precision.HIGH,
+         "highest": jax.lax.Precision.HIGHEST}[
+    _os.environ.get("NAVC_ATTEND_PREC", "highest")]
+
 
 def pick_ltile(l: int, h: int) -> int:
     """Largest divisor of l with tile width l_tile*h lanes <= ~4096."""
@@ -83,7 +90,7 @@ def _kernel(tpos_ref, idx_ref, q_ref, kt_ref, vt_ref, amask_ref,
     # segment matmuls carry REAL f32 values (exact products, softmax
     # weights), so they must not take the TPU default bf16 matmul pass —
     # HIGHEST keeps them f32-accurate (tiny (R, h) x (h, nh) shapes)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _PREC
     cprec = (hi if kc_ref.dtype == jnp.float32
              else jax.lax.Precision.DEFAULT)
 
@@ -163,7 +170,7 @@ def _cross_kernel(q_ref, ke_ref, ve_ref, att_ref, *,
     inv_sqrt_dh = 1.0 / math.sqrt(dh)
     # all payloads here are REAL f32 values — HIGHEST avoids the TPU
     # default bf16 matmul truncation (see beam_attend._kernel)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _PREC
     hgrp = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 0) // dh
     hcol = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 1)
     seg = (hgrp == hcol).astype(jnp.float32)

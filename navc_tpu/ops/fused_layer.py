@@ -48,21 +48,30 @@ def _gelu_new(x):
 
 
 def _attend_2d(xq, kv, kp_cols, wq, bq, wk, bk, wv, bv, wo, bo,
-               *, n_head, lq, lk, causal=False):
+               *, n_head, lq, lk, causal=False, kv_pre=None):
     """Tile-wide per-head attention with block-diagonal sequence masking.
 
     xq: (Tq, H) f32 query rows (TB sequences x lq); kv: (Tk, H) f32 key rows
     (TB sequences x lk); kp_cols: (Tk,) f32, 1.0 where the key is masked out.
     ``causal`` additionally masks future positions within each sequence
-    (ARFormer teacher forward). Returns (Tq, H) f32 (pre-residual).
+    (ARFormer teacher forward). ``kv_pre=(k16, v16)`` supplies PRE-PROJECTED
+    bf16 K/V rows (hoisted cross-attention K/V — iteration- and
+    length-beam-invariant, so callers compute them once per video); the
+    k/v dots are skipped and ``kv``/``wk``.. are ignored. Bit-identical to
+    the in-kernel projection: the score/apply dots cast K/V to bf16 anyway.
+    Returns (Tq, H) f32 (pre-residual).
     """
     tq, h = xq.shape
-    tk = kv.shape[0]
     d = h // n_head
 
     q = jnp.dot(xq.astype(jnp.bfloat16), wq, preferred_element_type=jnp.float32) + bq
-    k = jnp.dot(kv.astype(jnp.bfloat16), wk, preferred_element_type=jnp.float32) + bk
-    v = jnp.dot(kv.astype(jnp.bfloat16), wv, preferred_element_type=jnp.float32) + bv
+    if kv_pre is not None:
+        k, v = kv_pre
+        tk = k.shape[0]
+    else:
+        tk = kv.shape[0]
+        k = jnp.dot(kv.astype(jnp.bfloat16), wk, preferred_element_type=jnp.float32) + bk
+        v = jnp.dot(kv.astype(jnp.bfloat16), wv, preferred_element_type=jnp.float32) + bv
 
     # block-diagonal mask: query row i belongs to sequence i // lq, key row j
     # to sequence j // lk; cross-sequence or key-pad entries get MASK_FILL
@@ -100,7 +109,7 @@ def _layer_body(x, enc, kp, enc_kp,
                 wq_s, bq_s, wk_s, bk_s, wv_s, bv_s, wo_s, bo_s,
                 wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
                 wi, bi, wo2, bo2,
-                out_ref, *, n_head, l_pad, le_pad, causal):
+                out_ref, *, n_head, l_pad, le_pad, causal, enc_kv=None):
     npm = (1.0 - kp)[:, None]
 
     att = _attend_2d(x, x, kp, wq_s, bq_s, wk_s, bk_s,
@@ -110,7 +119,7 @@ def _layer_body(x, enc, kp, enc_kp,
 
     cross = _attend_2d(att, enc, enc_kp, wq_c, bq_c, wk_c, bk_c,
                        wv_c, bv_c, wo_c, bo_c,
-                       n_head=n_head, lq=l_pad, lk=le_pad)
+                       n_head=n_head, lq=l_pad, lk=le_pad, kv_pre=enc_kv)
     att = (cross + att) * npm
 
     inter = jnp.dot(att.astype(jnp.bfloat16), wi,
@@ -131,19 +140,27 @@ def _kernel(x_ref, enc_ref, kp_ref, enc_kp_ref, *wrefs,
                 n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal)
 
 
-def _kernel_fold(x_ref, static_ref, lns_ref, lnb_ref, enc_ref, kp_ref,
-                 enc_kp_ref, *wrefs, n_head, l_pad, le_pad, causal, ln_eps):
+def _kernel_fold(x_ref, static_ref, lns_ref, lnb_ref, *refs,
+                 n_head, l_pad, le_pad, causal, ln_eps, pre_kv=False):
     """Variant with the embedding epilogue folded in:
-    x = LayerNorm(word_embs + static) before the layer body."""
+    x = LayerNorm(word_embs + static) before the layer body. With ``pre_kv``
+    the enc operand is replaced by hoisted bf16 cross K/V rows."""
+    if pre_kv:
+        ke_ref, ve_ref, kp_ref, enc_kp_ref, *wrefs = refs
+        enc, enc_kv = None, (ke_ref[:], ve_ref[:])
+    else:
+        enc_ref, kp_ref, enc_kp_ref, *wrefs = refs
+        enc, enc_kv = enc_ref[:], None
     out_ref = wrefs[-1]
     weights = [r[:] for r in wrefs[:-1]]
     x = x_ref[:].astype(jnp.float32) + static_ref[:].astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
     x = (x - mu) * jax.lax.rsqrt(var + ln_eps) * lns_ref[:] + lnb_ref[:]
-    _layer_body(x, enc_ref[:], kp_ref[:][:, 0], enc_kp_ref[:][:, 0],
+    _layer_body(x, enc, kp_ref[:][:, 0], enc_kp_ref[:][:, 0],
                 *weights, out_ref,
-                n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal)
+                n_head=n_head, l_pad=l_pad, le_pad=le_pad, causal=causal,
+                enc_kv=enc_kv)
 
 
 def _round_up(x, m):
@@ -187,7 +204,8 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
                             ln_scale: jnp.ndarray = None,
                             ln_bias: jnp.ndarray = None,
                             ln_eps: float = 1e-5,
-                            out_dtype=jnp.float32) -> jnp.ndarray:
+                            out_dtype=jnp.float32,
+                            enc_kv=None) -> jnp.ndarray:
     """Run the fused decoder layer.
 
     x: (N, L, H) f32 embedded inputs; enc: (N, Le, H) f32; kp_mask: (N, L)
@@ -199,27 +217,43 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
     ``LayerNorm(x + static)`` (static = position + category + enhance-input
     features, which are iteration-invariant in the refinement loop).
 
+    ``enc_kv=(ke, ve)`` — hoisted cross-attention K/V, each (N, Le, H) bf16
+    computed as ``bf16(enc @ w_kc + b_kc)``. The cross K/V projection is
+    identical for every refinement iteration and every length-beam row of a
+    video (reference bert.py cross-attention over enc_output), so callers
+    compute it once per generate; requires ``fold`` (the hot-loop path).
+    Bit-identical to the in-kernel projection — the attention dots cast K/V
+    to bf16 regardless.
+
     Returns (N, L, H) f32 hidden states matching the XLA BertLayer in eval
     mode (up to bf16 rounding).
     """
     fold = static is not None
+    pre_kv = enc_kv is not None
+    assert not pre_kv or fold, "enc_kv requires the folded-epilogue path"
     n, l, h = x.shape
-    le = enc.shape[1]
+    le = enc_kv[0].shape[1] if pre_kv else enc.shape[1]
     l_pad = _round_up(l, 8)
     le_pad = _round_up(le, 8)
     n_pad = _round_up(n, tb)
 
     xp = _pad3(x, n_pad, l_pad)
-    encp = _pad3(enc, n_pad, le_pad)
     kp = _pad2(kp_mask, n_pad, l_pad)
     enc_kp_row = (jnp.arange(le_pad) >= le).astype(jnp.float32)
     enc_kp = jnp.broadcast_to(enc_kp_row[None, :], (n_pad, le_pad))
 
     # flatten sequences into rows; tiles slice TB sequences at a time
     x2 = xp.reshape(n_pad * l_pad, h)
-    enc2 = encp.reshape(n_pad * le_pad, h)
     kp2 = kp.reshape(n_pad * l_pad, 1)
     enc_kp2 = enc_kp.reshape(n_pad * le_pad, 1)
+    if pre_kv:
+        # pad rows land as zeros rather than the in-kernel bias row; their
+        # masked softmax weights are exactly 0 (exp(-1e7) underflows), so
+        # the attention output is unchanged
+        ke2 = _pad3(enc_kv[0], n_pad, le_pad).reshape(n_pad * le_pad, h)
+        ve2 = _pad3(enc_kv[1], n_pad, le_pad).reshape(n_pad * le_pad, h)
+    else:
+        enc2 = _pad3(enc, n_pad, le_pad).reshape(n_pad * le_pad, h)
 
     w = {k: (v.astype(jnp.bfloat16) if v.ndim == 2 else v.astype(jnp.float32))
          for k, v in weights.items()}
@@ -250,15 +284,20 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
         lns = ln_scale.astype(jnp.float32)[None, :]
         lnb = ln_bias.astype(jnp.float32)[None, :]
         row_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        enc_spec = base_specs[1]
+        enc_ops = ((ke2, ve2) if pre_kv else (enc2,))
         out = pl.pallas_call(
             functools.partial(_kernel_fold, n_head=n_head, l_pad=l_pad,
-                              le_pad=le_pad, causal=causal, ln_eps=ln_eps),
+                              le_pad=le_pad, causal=causal, ln_eps=ln_eps,
+                              pre_kv=pre_kv),
             grid=(n_pad // tb,),
-            in_specs=[xspec, xspec, row_spec, row_spec] + base_specs[1:] + wspecs,
+            in_specs=[xspec, xspec, row_spec, row_spec]
+                     + [enc_spec] * len(enc_ops) + base_specs[2:] + wspecs,
             out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), out_dtype),
             interpret=interpret,
-        )(x2, static2, lns, lnb, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
+        )(x2, static2, lns, lnb, *enc_ops, kp2, enc_kp2,
+          *[w[k] for k in WEIGHT_KEYS])
     else:
         out = pl.pallas_call(
             functools.partial(_kernel, n_head=n_head, l_pad=l_pad, le_pad=le_pad,
@@ -294,8 +333,14 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
 
 
 def _kernel_fold_qsub(sbd_ref, mrow_ref, x_ref, static_ref, lns_ref, lnb_ref,
-                      enc_ref, kp_ref, enc_kp_ref, *wrefs,
-                      n_head, k_pad, l_pad, le_pad, ln_eps):
+                      *refs, n_head, k_pad, l_pad, le_pad, ln_eps,
+                      pre_kv=False):
+    if pre_kv:
+        ke_ref, ve_ref, kp_ref, enc_kp_ref, *wrefs = refs
+        enc_kv = (ke_ref[:], ve_ref[:])
+    else:
+        enc_ref, kp_ref, enc_kp_ref, *wrefs = refs
+        enc_kv = None
     out_ref = wrefs[-1]
     weights = (wq_s, bq_s, wk_s, bk_s, wv_s, bv_s, wo_s, bo_s,
                wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
@@ -319,9 +364,10 @@ def _kernel_fold_qsub(sbd_ref, mrow_ref, x_ref, static_ref, lns_ref, lnb_ref,
                      n_head=n_head, lq=k_pad, lk=l_pad)
     att = (att + xq) * npm_q
 
-    cross = _attend_2d(att, enc_ref[:], enc_kp_ref[:][:, 0],
+    cross = _attend_2d(att, None if pre_kv else enc_ref[:],
+                       enc_kp_ref[:][:, 0],
                        wq_c, bq_c, wk_c, bk_c, wv_c, bv_c, wo_c, bo_c,
-                       n_head=n_head, lq=k_pad, lk=le_pad)
+                       n_head=n_head, lq=k_pad, lk=le_pad, kv_pre=enc_kv)
     att = (cross + att) * npm_q
 
     inter = jnp.dot(att.astype(jnp.bfloat16), wi,
@@ -340,7 +386,8 @@ def fused_nar_decoder_layer_qsub(
         weights: Dict[str, jnp.ndarray],
         ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
         n_head: int = 8, tb: int = 8, interpret: bool = False,
-        ln_eps: float = 1e-5, out_dtype=jnp.float32) -> jnp.ndarray:
+        ln_eps: float = 1e-5, out_dtype=jnp.float32,
+        enc_kv=None) -> jnp.ndarray:
     """Sparse-query fused layer (embedding epilogue folded).
 
     sel: (N, K, L) one-hot query selection — sel[n, q, l] = 1 iff query slot
@@ -348,14 +395,16 @@ def fused_nar_decoder_layer_qsub(
     (padding) query slots. Every selected position is re-masked, so its raw
     word embedding is ``mask_row`` (H,). x / static: (N, L, H) full-canvas
     raw embeddings / static features (keys/values); kp_mask: (N, L) True
-    where the canvas token is PAD. Returns (N, K, H) hidden states —
-    bit-identical to the dense kernel's rows at the selected positions
-    (one-hot bf16 matmuls select exact values; LN/attention per-row math is
-    row-independent).
+    where the canvas token is PAD. ``enc_kv=(ke, ve)`` supplies hoisted
+    bf16 cross K/V (see ``fused_nar_decoder_layer``); ``enc`` may then be
+    None. Returns (N, K, H) hidden states — bit-identical to the dense
+    kernel's rows at the selected positions (one-hot bf16 matmuls select
+    exact values; LN/attention per-row math is row-independent).
     """
     n, k, l = sel.shape
     h = x.shape[-1]
-    le = enc.shape[1]
+    pre_kv = enc_kv is not None
+    le = enc_kv[0].shape[1] if pre_kv else enc.shape[1]
     k_pad = _round_up(k, 8)
     l_pad = _round_up(l, 8)
     le_pad = _round_up(le, 8)
@@ -363,7 +412,6 @@ def fused_nar_decoder_layer_qsub(
 
     xp = _pad3(x, n_pad, l_pad)
     sp = _pad3(static, n_pad, l_pad)
-    encp = _pad3(enc, n_pad, le_pad)
     kp = _pad2(kp_mask, n_pad, l_pad)
     enc_kp_row = (jnp.arange(le_pad) >= le).astype(jnp.float32)
     enc_kp = jnp.broadcast_to(enc_kp_row[None, :], (n_pad, le_pad))
@@ -381,7 +429,11 @@ def fused_nar_decoder_layer_qsub(
     tk = tb * le_pad
     x2 = xp.reshape(n_pad * l_pad, h)
     s2 = sp.reshape(n_pad * l_pad, h)
-    enc2 = encp.reshape(n_pad * le_pad, h)
+    if pre_kv:
+        enc_ops = (_pad3(enc_kv[0], n_pad, le_pad).reshape(n_pad * le_pad, h),
+                   _pad3(enc_kv[1], n_pad, le_pad).reshape(n_pad * le_pad, h))
+    else:
+        enc_ops = (_pad3(enc, n_pad, le_pad).reshape(n_pad * le_pad, h),)
     kp2 = kp.reshape(n_pad * l_pad, 1)
     enc_kp2 = enc_kp.reshape(n_pad * le_pad, 1)
     mrow = mask_row.astype(jnp.bfloat16)[None, :]
@@ -403,23 +455,46 @@ def fused_nar_decoder_layer_qsub(
     row_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     xspec = pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    enc_spec = pl.BlockSpec((tk, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel_fold_qsub, n_head=n_head, k_pad=k_pad,
-                          l_pad=l_pad, le_pad=le_pad, ln_eps=ln_eps),
+                          l_pad=l_pad, le_pad=le_pad, ln_eps=ln_eps,
+                          pre_kv=pre_kv),
         grid=(n_pad // tb,),
         in_specs=[pl.BlockSpec((tq, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                  row_spec, xspec, xspec, row_spec, row_spec,
-                  pl.BlockSpec((tk, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                  pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                  pl.BlockSpec((tk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+                  row_spec, xspec, xspec, row_spec, row_spec]
+                 + [enc_spec] * len(enc_ops)
+                 + [pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)]
                  + wspecs,
         out_specs=pl.BlockSpec((tq, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad * k_pad, h), out_dtype),
         interpret=interpret,
-    )(sel_bd, mrow, x2, s2, lns, lnb, enc2, kp2, enc_kp2,
+    )(sel_bd, mrow, x2, s2, lns, lnb, *enc_ops, kp2, enc_kp2,
       *[w[key] for key in WEIGHT_KEYS])
 
     return out.reshape(n_pad, k_pad, h)[:n, :k]
+
+
+def hoist_cross_kv(enc, weights: Dict[str, jnp.ndarray]):
+    """Pre-project the cross-attention K/V from enc_output.
+
+    enc: (N, Le, H); returns (ke, ve) each (N, Le, H) bf16 with EXACTLY the
+    kernel's arithmetic (bf16 operands, f32 accumulate, f32 bias add, bf16
+    store — the in-kernel score/apply dots cast K/V to bf16 anyway, so
+    passing these via ``enc_kv=`` is bit-identical to the in-kernel
+    projection). The projection is invariant across refinement iterations
+    and length-beam rows (reference bert.py cross-attention reads only
+    enc_output), so one call replaces ~T*lbs in-kernel recomputes.
+    """
+    e16 = enc.astype(jnp.bfloat16)
+    ke = (jnp.dot(e16, weights["wk_c"].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+          + weights["bk_c"].astype(jnp.float32)).astype(jnp.bfloat16)
+    ve = (jnp.dot(e16, weights["wv_c"].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+          + weights["bv_c"].astype(jnp.float32)).astype(jnp.bfloat16)
+    return ke, ve
 
 
 # ---------------------------------------------------------------------------

@@ -87,3 +87,65 @@ def test_fused_teacher_score_matches_jnp():
     np.testing.assert_allclose(a, b, rtol=5e-2, atol=1e-3)
     # ranking-relevant agreement: probabilities correlate tightly
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_hoisted_cross_kv_bit_identical():
+    """enc_kv= (hoisted cross K/V) matches the in-kernel projection exactly:
+    the kernel casts K/V to bf16 at the attention dots either way."""
+    from navc_tpu.ops.fused_layer import (fused_nar_decoder_layer_qsub,
+                                          hoist_cross_kv)
+
+    cfg = small_cfg()
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    n, l, h = 6, cfg.max_len, cfg.dim_hidden
+    enc = jnp.asarray(rng.randn(n, 2 * cfg.n_frames, h).astype(np.float32))
+    enc16 = enc.astype(jnp.bfloat16)
+    tokens = np.full((n, l), C.PAD, np.int32)
+    for i in range(n):
+        ln = rng.randint(4, l)
+        tokens[i, :ln] = rng.randint(4, cfg.vocab_size, size=ln)
+    tokens = jnp.asarray(tokens)
+
+    weights = layer_weights_from_params(
+        variables["params"]["decoder"]["layer_0"])
+    emb_p = variables["params"]["decoder"]["embedding"]
+    word_table = emb_p["word_embeddings"]["embedding"].astype(jnp.bfloat16)
+    static = jnp.broadcast_to(
+        emb_p["position_embeddings"]["embedding"][None, :l, :], (n, l, h)
+    ).astype(jnp.bfloat16)
+    ln_s, ln_b = emb_p["LayerNorm"]["scale"], emb_p["LayerNorm"]["bias"]
+    kv = hoist_cross_kv(enc16, weights)
+
+    kwargs = dict(n_head=cfg.num_attention_heads, tb=4, interpret=True,
+                  static=static, ln_scale=ln_s, ln_bias=ln_b,
+                  ln_eps=cfg.layer_norm_eps, out_dtype=jnp.bfloat16)
+    base = fused_nar_decoder_layer(word_table[tokens], enc16,
+                                   tokens == C.PAD, weights, **kwargs)
+    hoisted = fused_nar_decoder_layer(word_table[tokens], None,
+                                      tokens == C.PAD, weights,
+                                      enc_kv=kv, **kwargs)
+    np.testing.assert_array_equal(np.asarray(base, np.float32),
+                                  np.asarray(hoisted, np.float32))
+
+    # sparse-query variant
+    k = 8
+    sel = np.zeros((n, k, l), np.float32)
+    masked = np.asarray(tokens).copy()
+    for i in range(n):
+        pos = rng.choice(np.where(masked[i] != C.PAD)[0], size=3, replace=False)
+        for q, p in enumerate(pos):
+            sel[i, q, p] = 1.0
+            masked[i, p] = C.MASK
+    qkw = dict(n_head=cfg.num_attention_heads, tb=4, interpret=True,
+               ln_eps=cfg.layer_norm_eps, out_dtype=jnp.bfloat16)
+    bq = fused_nar_decoder_layer_qsub(
+        jnp.asarray(sel), word_table[C.MASK], word_table[jnp.asarray(masked)],
+        static, enc16, jnp.asarray(masked) == C.PAD, weights, ln_s, ln_b, **qkw)
+    hq = fused_nar_decoder_layer_qsub(
+        jnp.asarray(sel), word_table[C.MASK], word_table[jnp.asarray(masked)],
+        static, None, jnp.asarray(masked) == C.PAD, weights, ln_s, ln_b,
+        enc_kv=kv, **qkw)
+    np.testing.assert_array_equal(np.asarray(bq, np.float32),
+                                  np.asarray(hq, np.float32))
