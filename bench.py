@@ -548,11 +548,12 @@ def main(batch_size: int = 8192, profile: bool = False,
     return result
 
 
-def report_fallback():
+def report_fallback(batch_size: int = 8192):
     """Accelerator unreachable: report the last LIVE value only if fresh."""
     baseline = read_baseline()
     out = {
-        "metric": metric_name(2048, " [STALE: accelerator unreachable at bench time]"),
+        "metric": metric_name(
+            batch_size, " [STALE: accelerator unreachable at bench time]"),
         "value": None,
         "unit": "captions/sec/chip",
         "vs_baseline": None,
@@ -569,7 +570,7 @@ def report_fallback():
             age_h = float("inf")
         if age_h <= MAX_AGE_H:
             out = dict(live)
-            out["metric"] = (live.get("metric", metric_name(2048)) +
+            out["metric"] = (live.get("metric", metric_name(batch_size)) +
                              " [STALE: accelerator unreachable; live value "
                              "%.1fh old]" % age_h)
             out["vs_baseline"] = (round(live["value"] / baseline, 2)
@@ -597,7 +598,7 @@ if __name__ == "__main__":
                          "measure that workload live; all: everything live")
     args = ap.parse_args()
     if not _device_available():
-        report_fallback()
+        report_fallback(batch_size=args.batch)
     elif args.workload == "arb":
         measure_arb(batch_size=args.batch if args.batch != 8192 else 1024,
                     profile=args.profile)
