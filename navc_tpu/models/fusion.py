@@ -5,6 +5,15 @@ BatchNorm over the flattened (B*T, C) activations (or LayerNorm when
 ``norm_type == 'ln'``), then temporal concatenation or additive mean fusion;
 stream hiddens are averaged (joint_representation.py:24-53).
 
+Documented deviation — ``addition`` with norms enabled: the reference's code
+path is broken upstream for any batch > 1 (after ``stack().mean(0)`` the
+``len(encoder_outputs)`` it asserts against ``len(norm_list)`` is the BATCH
+size, joint_representation.py:38-41, and the BN branch then unpacks 3 dims
+from per-row 2-D slices), so upstream only ``no_encoder_bn=True`` is
+functional. This module implements the evident intent instead: ONE norm
+applied to the averaged stream. Cross-parity with the reference is asserted
+for every upstream-functional combination (scripts/fuzz_crossparity.py).
+
 TPU/pjit note: BatchNorm batch statistics are computed with global jnp means;
 under pjit with a batch-sharded input the mean is a global reduction, so
 multi-chip training sees exactly the full-batch statistics (no per-replica BN

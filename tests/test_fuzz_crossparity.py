@@ -35,3 +35,14 @@ def test_fuzzed_decode_parity(seed):
     rng = np.random.RandomState(seed)
     for _ in range(2):
         fz.run_case(h, fz.sample_case(rng))
+
+
+@pytest.mark.parametrize("seed", [404, 505])
+def test_fuzzed_forward_parity(seed):
+    """Architecture-knob forward parity (enhance_input, watch, pos_attention,
+    with_layernorm, norm_type, fusion, modality subsets, tie_weights)."""
+    fz = _load_fuzzer()
+    h = fz.load_harness()
+    rng = np.random.RandomState(seed)
+    for _ in range(2):
+        fz.run_model_case(h, fz.sample_model_case(rng))
