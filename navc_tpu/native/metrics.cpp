@@ -38,84 +38,243 @@ const std::unordered_set<std::string>& punctuations() {
 
 bool is_space(char c) { return c == ' ' || c == '\t' || c == '\n' || c == '\r'; }
 
-// Split one caption into PTB-ish tokens, lowercase, drop punctuation.
-std::vector<std::string> tokenize(const std::string& text) {
-  std::string s;
-  s.reserve(text.size() + 8);
-  // normalize quotes like the Python path
-  for (size_t i = 0; i < text.size(); ++i) {
-    if (text[i] == '"') { s += " '' "; } else { s += text[i]; }
-  }
+bool word_char(char c) {
+  return isalnum(static_cast<unsigned char>(c)) != 0 || c == '_';
+}
 
-  // insert spaces around punctuation runs (..., --, single marks)
-  std::string spaced;
-  spaced.reserve(s.size() * 2);
-  for (size_t i = 0; i < s.size();) {
-    char c = s[i];
-    if (c == '.' && i + 2 < s.size() && s[i + 1] == '.' && s[i + 2] == '.') {
-      spaced += " ... ";
-      i += 3;
-    } else if (c == '-' && i + 1 < s.size() && s[i + 1] == '-') {
-      spaced += " -- ";
-      i += 2;
-    } else if (strchr(";@#$%&?![](){}<>,", c) != nullptr) {
-      spaced += ' ';
-      spaced += c;
-      spaced += ' ';
-      i += 1;
-    } else if (c == ':' && !(i + 1 < s.size() && isdigit(s[i + 1]))) {
-      spaced += " : ";
-      i += 1;
-    } else if (c == '.' && (i + 1 == s.size() || is_space(s[i + 1]) ||
-                            s[i + 1] == '"' || s[i + 1] == '\'')) {
-      // sentence-final period
-      spaced += " . ";
-      i += 1;
-    } else {
-      spaced += c;
-      i += 1;
+// The passes below mirror metrics/tokenizer.py RULE BY RULE, in the same
+// order. The ordering is load-bearing: each earlier substitution creates the
+// spaces later rules key on (e.g. "is'?" splits its quote only because rule
+// 4 spaced the '?' first, while "don't," stays whole because the n't rule
+// runs before the comma is spaced). A single-pass tokenizer cannot reproduce
+// these sequential-rewrite semantics — verified by the randomized parity
+// fuzz (tests/test_native_metrics_fuzz.py).
+
+// _CONTRACTIONS: \b(can)(not)\b | (d')(ye) | (gim)(me) | (gon)(na) |
+// (got)(ta) | (lem)(me) | (wan)(na), case-insensitive.
+std::string split_contractions(const std::string& s) {
+  struct Pair { const char* w; size_t cut; };
+  static const Pair kPairs[] = {{"cannot", 3}, {"d'ye", 2}, {"gimme", 3},
+                                {"gonna", 3},  {"gotta", 3}, {"lemme", 3},
+                                {"wanna", 3}};
+  std::string out;
+  out.reserve(s.size() + 4);
+  size_t i = 0, n = s.size();
+  while (i < n) {
+    bool matched = false;
+    if (i == 0 || !word_char(s[i - 1])) {
+      for (const auto& p : kPairs) {
+        size_t m = strlen(p.w);
+        if (i + m > n) continue;
+        bool eq = true;
+        for (size_t k = 0; k < m; ++k) {
+          if (tolower(static_cast<unsigned char>(s[i + k])) != p.w[k]) {
+            eq = false;
+            break;
+          }
+        }
+        if (eq && (i + m == n || !word_char(s[i + m]))) {
+          out.append(s, i, p.cut);
+          out += ' ';
+          out.append(s, i + p.cut, m - p.cut);
+          i += m;
+          matched = true;
+          break;
+        }
+      }
+    }
+    if (!matched) {
+      out += s[i];
+      ++i;
     }
   }
+  return out;
+}
 
-  // word-level pass: contractions + possessives, lowercase, drop punctuation
-  std::vector<std::string> raw;
+// rule 1: (\.\.\.) -> " ... "
+std::string space_ellipsis(const std::string& s) {
+  std::string out;
+  out.reserve(s.size() + 8);
+  for (size_t i = 0; i < s.size();) {
+    if (s[i] == '.' && i + 2 < s.size() && s[i + 1] == '.' &&
+        s[i + 2] == '.') {
+      out += " ... ";
+      i += 3;
+    } else {
+      out += s[i];
+      ++i;
+    }
+  }
+  return out;
+}
+
+// rules 2/4/5: space every char in `set`
+std::string space_chars(const std::string& s, const char* set) {
+  std::string out;
+  out.reserve(s.size() + 8);
+  for (char c : s) {
+    if (strchr(set, c) != nullptr) {
+      out += ' ';
+      out += c;
+      out += ' ';
+    } else {
+      out += c;
+    }
+  }
+  return out;
+}
+
+// rule 3: ([^.])(\.)([\])}>"']*)\s*$ -> \1 " " \2\3 " " — the sentence-final
+// period (keeps "u.s.a." whole mid-line, splits its last dot at line end)
+std::string split_final_period(const std::string& s) {
+  size_t j = s.size();
+  while (j > 0 && is_space(s[j - 1])) --j;
+  size_t close_end = j;
+  while (j > 0 && strchr("])}>\"'", s[j - 1]) != nullptr) --j;
+  if (j < 2 || s[j - 1] != '.' || s[j - 2] == '.') return s;
+  size_t dot = j - 1;
+  std::string out = s.substr(0, dot);
+  out += ' ';
+  out.append(s, dot, close_end - dot);
+  out += ' ';
+  out.append(s, close_end, s.size() - close_end);
+  return out;
+}
+
+// rule 6: (--) -> " -- "
+std::string space_double_dash(const std::string& s) {
+  std::string out;
+  out.reserve(s.size() + 8);
+  for (size_t i = 0; i < s.size();) {
+    if (s[i] == '-' && i + 1 < s.size() && s[i + 1] == '-') {
+      out += " -- ";
+      i += 2;
+    } else {
+      out += s[i];
+      ++i;
+    }
+  }
+  return out;
+}
+
+// rule 7: ([^'])' " " -> \1 " ' " — word-final closing quote
+std::string split_tail_quote(const std::string& s) {
+  std::string out;
+  out.reserve(s.size() + 4);
+  for (size_t i = 0; i < s.size(); ++i) {
+    if (s[i] == '\'' && i > 0 && s[i - 1] != '\'' && i + 1 < s.size() &&
+        s[i + 1] == ' ') {
+      out += " '";
+    } else {
+      out += s[i];
+    }
+  }
+  return out;
+}
+
+// rule 8: '([sSmMdD]) " " -> " '"\1 — possessive / 's 'm 'd
+std::string split_possessive(const std::string& s) {
+  std::string out;
+  out.reserve(s.size() + 4);
+  for (size_t i = 0; i < s.size(); ++i) {
+    if (s[i] == '\'' && i + 2 < s.size() &&
+        strchr("sSmMdD", s[i + 1]) != nullptr && s[i + 2] == ' ') {
+      out += " '";
+    } else {
+      out += s[i];
+    }
+  }
+  return out;
+}
+
+// rule 9: ('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) " " -> insert a space before the
+// suffix (exact-case alternation, like the Python regex)
+std::string split_suffixes(const std::string& s) {
+  static const char* kSuf[] = {"'ll", "'LL", "'re", "'RE",
+                               "'ve", "'VE", "n't", "N'T"};
+  std::string out;
+  out.reserve(s.size() + 4);
+  for (size_t i = 0; i < s.size();) {
+    bool matched = false;
+    if (i + 3 < s.size() && s[i + 3] == ' ') {
+      for (const char* suf : kSuf) {
+        if (s.compare(i, 3, suf) == 0) {
+          out += ' ';
+          out.append(suf);
+          i += 3;
+          matched = true;
+          break;
+        }
+      }
+    }
+    if (!matched) {
+      out += s[i];
+      ++i;
+    }
+  }
+  return out;
+}
+
+// rule 10: ([,:])(?!\d) -> " c "
+std::string split_comma_colon(const std::string& s) {
+  std::string out;
+  out.reserve(s.size() + 8);
+  for (size_t i = 0; i < s.size(); ++i) {
+    char c = s[i];
+    if ((c == ',' || c == ':') &&
+        !(i + 1 < s.size() && isdigit(static_cast<unsigned char>(s[i + 1])))) {
+      out += ' ';
+      out += c;
+      out += ' ';
+    } else {
+      out += c;
+    }
+  }
+  return out;
+}
+
+// Split one caption into PTB tokens, lowercase, drop punctuation —
+// pass-for-pass equivalent of metrics/tokenizer.py::ptb_tokenize.
+std::vector<std::string> tokenize(const std::string& text) {
+  size_t b = 0, e = text.size();
+  while (b < e && is_space(text[b])) ++b;
+  while (e > b && is_space(text[e - 1])) --e;
+  std::string s = " " + text.substr(b, e - b) + " ";
+  s = split_contractions(s);
+  {
+    std::string q;
+    q.reserve(s.size() + 8);
+    for (char c : s) {
+      if (c == '"') q += " '' ";
+      else q += c;
+    }
+    s = q;
+  }
+  s = space_ellipsis(s);
+  s = space_chars(s, ";@#$%&");
+  s = split_final_period(s);
+  s = space_chars(s, "?!");
+  s = space_chars(s, "][(){}<>");
+  s = space_double_dash(s);
+  s = split_tail_quote(s);
+  s = split_possessive(s);
+  s = split_suffixes(s);
+  s = split_comma_colon(s);
+  const std::string& spaced = s;
+
+  // split on whitespace, lowercase, drop punctuation (all splitting already
+  // happened in the rule passes above)
+  std::vector<std::string> filtered;
   std::string cur;
   for (char c : spaced) {
     if (is_space(c)) {
-      if (!cur.empty()) raw.push_back(cur);
+      if (!cur.empty() && !punctuations().count(cur)) filtered.push_back(cur);
       cur.clear();
     } else {
       cur += static_cast<char>(tolower(static_cast<unsigned char>(c)));
     }
   }
-  if (!cur.empty()) raw.push_back(cur);
-
-  std::vector<std::string> out;
-  for (auto& w : raw) {
-    // n't / 'll / 're / 've / 's / 'm / 'd splits
-    auto try_suffix = [&](const char* suf) -> bool {
-      size_t n = strlen(suf);
-      if (w.size() > n && w.compare(w.size() - n, n, suf) == 0) {
-        std::string head = w.substr(0, w.size() - n);
-        if (!head.empty()) out.push_back(head);
-        out.push_back(suf);
-        return true;
-      }
-      return false;
-    };
-    if (w == "cannot") { out.push_back("can"); out.push_back("not"); continue; }
-    if (try_suffix("n't") || try_suffix("'ll") || try_suffix("'re") ||
-        try_suffix("'ve") || try_suffix("'s") || try_suffix("'m") ||
-        try_suffix("'d")) {
-      continue;
-    }
-    out.push_back(w);
-  }
-
-  std::vector<std::string> filtered;
-  for (auto& w : out) {
-    if (!punctuations().count(w)) filtered.push_back(w);
-  }
+  if (!cur.empty() && !punctuations().count(cur)) filtered.push_back(cur);
   return filtered;
 }
 
