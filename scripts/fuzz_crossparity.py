@@ -50,11 +50,13 @@ def sample_case(rng: np.random.RandomState) -> dict:
     l2r/ef, teacher gates only exist when a teacher is passed.
     """
     if rng.rand() < 0.3:
+        beam = int(rng.choice([2, 3, 5, 7]))
         return {
-            "kind": "ARB",
+            "kind": str(rng.choice(["ARB", "ARB2"])),
             "kw": {
-                "beam_size": int(rng.choice([2, 3, 5, 7])),
+                "beam_size": beam,
                 "beam_alpha": float(rng.choice([0.8, 1.0, 1.35, 2.0])),
+                "topk": min(beam, int(rng.choice([1, 1, 2, 3]))),
             },
             "weight_seed": int(rng.randint(100)),
             "input_seed": int(rng.randint(100)),
@@ -191,9 +193,9 @@ def run_case(h, case: dict) -> None:
     """Build both stacks and assert parity; raises on any mismatch."""
     import jax.numpy as jnp
 
-    if case["kind"] == "ARB":
+    if case["kind"] in ("ARB", "ARB2"):
         opt, tmodel, cfg, jmodel, variables = h.build_pair(
-            "ARB", seed=case["weight_seed"], **case["kw"])
+            case["kind"], seed=case["weight_seed"], **case["kw"])
         b = 5
         feats, category = h.make_inputs(opt, b=b, seed=case["input_seed"])
         tenc, jenc = h.encode_both(opt, tmodel, jmodel, variables, feats)
@@ -204,13 +206,24 @@ def run_case(h, case: dict) -> None:
             tenc, h.torch.from_numpy(category), tgt_tokens=None,
             tgt_vocab=vocab)
         gen = h.make_ar_generator(cfg, jmodel, jit=True)
-        seqs = np.asarray(gen(variables, jenc,
-                              jnp.asarray(category, jnp.int32))[0])
+        seqs, scores = gen(variables, jenc, jnp.asarray(category, jnp.int32))
+        seqs, scores = np.asarray(seqs), np.asarray(scores)
+        topk = cfg.topk
+        if topk <= 1:
+            seqs, scores = seqs[:, None, :], scores[:, None]
         for i in range(b):
-            hyp = batch_hyp[i][0]
-            assert list(seqs[i][: len(hyp)]) == hyp, (
-                "instance %d: ref %s vs tpu %s" % (i, hyp, seqs[i].tolist()))
-            assert (seqs[i][len(hyp):] == h.C.PAD).all()
+            # the reference may return FEWER than topk hypotheses
+            # (collect_hypothesis_and_scores clamps to the finished count,
+            # Translator.py:87); navc pads the remainder with -inf scores
+            for j, hyp in enumerate(batch_hyp[i][:topk]):
+                assert list(seqs[i, j][: len(hyp)]) == hyp, (
+                    "instance %d best-%d: ref %s vs tpu %s"
+                    % (i, j, hyp, seqs[i, j].tolist()))
+                assert (seqs[i, j][len(hyp):] == h.C.PAD).all()
+                np.testing.assert_allclose(scores[i, j], batch_scores[i][j],
+                                           atol=1e-4)
+            for j in range(len(batch_hyp[i][:topk]), topk):
+                assert np.isneginf(scores[i, j])
         return
 
     teacher = (h.build_pair("ARB", seed=case["teacher_seed"])
