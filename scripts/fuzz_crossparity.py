@@ -211,10 +211,16 @@ def run_case(h, case: dict) -> None:
         topk = cfg.topk
         if topk <= 1:
             seqs, scores = seqs[:, None, :], scores[:, None]
+        clamped = False
         for i in range(b):
-            # the reference may return FEWER than topk hypotheses
-            # (collect_hypothesis_and_scores clamps to the finished count,
-            # Translator.py:87); navc pads the remainder with -inf scores
+            # Known upstream bug (NOT replicated): collect_hypothesis_and_
+            # scores reassigns ``n_best = min(n_best, len(scores))`` INSIDE
+            # the per-instance loop (Translator.py:87), so one instance with
+            # few finished hypotheses clamps every LATER instance's n-best —
+            # batch-order-dependent truncation. navc returns the true top-k
+            # per instance. So: the reference's returned prefix must match
+            # exactly, and the -inf-padding check only applies while no
+            # earlier instance has clamped the count.
             for j, hyp in enumerate(batch_hyp[i][:topk]):
                 assert list(seqs[i, j][: len(hyp)]) == hyp, (
                     "instance %d best-%d: ref %s vs tpu %s"
@@ -222,8 +228,11 @@ def run_case(h, case: dict) -> None:
                 assert (seqs[i, j][len(hyp):] == h.C.PAD).all()
                 np.testing.assert_allclose(scores[i, j], batch_scores[i][j],
                                            atol=1e-4)
-            for j in range(len(batch_hyp[i][:topk]), topk):
-                assert np.isneginf(scores[i, j])
+            if not clamped:
+                for j in range(len(batch_hyp[i][:topk]), topk):
+                    assert np.isneginf(scores[i, j])
+            if len(batch_hyp[i]) < topk:
+                clamped = True
         return
 
     teacher = (h.build_pair("ARB", seed=case["teacher_seed"])
