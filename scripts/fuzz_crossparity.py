@@ -57,6 +57,10 @@ def sample_case(rng: np.random.RandomState) -> dict:
                 "beam_size": beam,
                 "beam_alpha": float(rng.choice([0.8, 1.0, 1.35, 2.0])),
                 "topk": min(beam, int(rng.choice([1, 1, 2, 3]))),
+                # watch > 0 (band causal mask, Decoder.py:23-29) routes the
+                # beam through the full-prefix path (kv_cached_beam_eligible
+                # excludes it) — both paths must match the reference
+                "watch": int(rng.choice([0, 0, 0, 1, 2])),
             },
             "weight_seed": int(rng.randint(100)),
             "input_seed": int(rng.randint(100)),
