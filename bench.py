@@ -55,7 +55,12 @@ PEAK_TFLOPS = {
 
 def _device_available(timeout_s: float = None) -> bool:
     """Probe the accelerator in a daemon thread — a dead tunnel hangs
-    jax.devices() forever, which must not hang the benchmark harness."""
+    jax.devices() forever, which must not hang the benchmark harness.
+
+    The probe runs a tiny matmul end-to-end, not just jax.devices():
+    the axon tunnel can enumerate devices fine while its remote compile
+    service is wedged, and a devices()-only probe would let the real
+    benchmark hang forever at its first compile."""
     import threading
 
     if timeout_s is None:
@@ -65,8 +70,12 @@ def _device_available(timeout_s: float = None) -> bool:
     def probe():
         try:
             import jax
+            import jax.numpy as jnp
             jax.devices()
-            ok.append(True)
+            x = jnp.ones((128, 128))
+            v = float(np.asarray(x @ x)[0, 0])
+            if v == 128.0:
+                ok.append(True)
         except Exception:
             pass
 
