@@ -61,10 +61,12 @@ class FeatureSource:
     axis (reference dataloader.py:272-295).
     """
 
-    def __init__(self, stores: Sequence[Any], dim: int, max_len_default: int):
+    def __init__(self, stores: Sequence[Any], dim: int, max_len_default: int,
+                 n_total_frames: int = 60):
         assert len(stores) > 0
         self.stores = list(stores)
         self.dim = dim
+        self.n_total_frames = n_total_frames
         # reference dataloader.py:268-270: an hdf5-level 'max_len' dataset
         # overrides n_frames as the padded length
         ml = None
@@ -84,7 +86,12 @@ class FeatureSource:
                 return np.zeros((self.max_seq_len, self.dim), np.float32)
             data = np.asarray(store[vid], dtype=np.float32)
             if data.ndim == 1:
-                n = pre_len if pre_len is not None else self.max_seq_len
+                # a 1-D (per-video) feature broadcasts over time: to the
+                # length of the preceding 2-D store in this modality, else to
+                # n_total_frames (reference dataloader.py:281-285 — NOT the
+                # padded max_seq_len; the sampling branches downstream expect
+                # the raw temporal length)
+                n = pre_len if pre_len is not None else self.n_total_frames
                 data = np.repeat(data[None, :], n, axis=0)
             else:
                 pre_len = data.shape[0]
@@ -111,7 +118,8 @@ def open_feature_sources(cfg: Config, in_memory: Optional[Dict[str, Dict[str, np
                 paths = [paths]
             stores = [h5py.File(p, "r") for p in paths if str(p).endswith(".hdf5")]
         assert stores, "no feature stores for modality %r" % ch
-        sources[key] = FeatureSource(stores, getattr(cfg, "dim_%s" % ch), cfg.n_frames)
+        sources[key] = FeatureSource(stores, getattr(cfg, "dim_%s" % ch),
+                                     cfg.n_frames, cfg.n_total_frames)
     return sources
 
 
