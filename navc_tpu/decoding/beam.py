@@ -212,8 +212,11 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
         return x, npm, qkv
 
     def step(seqs_flat, kcache, vcache, t):
-        """(seqs (N, L), caches (N, L, nh, dh), t) -> (logprobs (N, V),
-        updated caches). Computes hidden for position t-1."""
+        """(seqs (N, L), caches (N, L, nh, dh), t) -> (out, updated caches)
+        where ``out`` is RAW projection logits (N, V) — callers apply their
+        own log_softmax arithmetic — or hidden states (N, H) when built with
+        return_hidden=True (the fused top-k kernel projects in-kernel).
+        Computes the forward for position t-1."""
         x, npm, qkv = embed_qkv(seqs_flat, t)
         q = qkv[:, :h].reshape(n, nh, dh)
         kt = qkv[:, h:2 * h].reshape(n, nh, dh)
@@ -295,13 +298,15 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             emb_p = variables["params"]["decoder"]["embedding"]
             layer_w = layer_weights_from_params(
                 variables["params"]["decoder"]["layer_0"])
-            word_table = emb_p["word_embeddings"]["embedding"]
+            # checkpoint-loaded trees hold numpy leaves; indexing them with
+            # traced ids (seqs_flat/category inside the while_loop) needs jnp
+            word_table = jnp.asarray(emb_p["word_embeddings"]["embedding"])
             n, l = seqs_flat.shape
             static = jnp.broadcast_to(
-                emb_p["position_embeddings"]["embedding"][None, :l, :],
+                jnp.asarray(emb_p["position_embeddings"]["embedding"])[None, :l, :],
                 (n, l, word_table.shape[1]))
             if cfg.with_category and category is not None:
-                cat = emb_p["category_embeddings"]["embedding"][
+                cat = jnp.asarray(emb_p["category_embeddings"]["embedding"])[
                     category.reshape(n, -1)[:, 0]]
                 static = static + cat[:, None, :]
             hidden = fused_nar_decoder_layer(
@@ -389,6 +394,11 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         )
 
         def step(state: BeamState, kc, vc, pk, t):
+            # previous token of every beam (same gather for both paths)
+            last = jnp.take_along_axis(
+                state.seqs,
+                jnp.full((b, k, 1), 1, jnp.int32) * (t - 1),
+                axis=2)[..., 0]
             if use_cache:
                 # Candidate-only normalization: top-k per beam runs on RAW
                 # logits (log_softmax subtracts per-row scalars, so indices
@@ -418,10 +428,17 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                     wp_top = ((top_logit - mrow) - lse).reshape(b, k, k)
                     ids_top = top_idx.astype(jnp.int32).reshape(b, k, k)
 
-                last = jnp.take_along_axis(
-                    state.seqs,
-                    jnp.full((b, k, 1), 1, jnp.int32) * (t - 1),
-                    axis=2)[..., 0]
+                # a killed (EOS-ended) row's candidates can only win when
+                # EVERY candidate of the instance is NEG_BIG (all beams
+                # killed while fin_count < specific, reachable when
+                # topk > beam); the reference then draws flat positions
+                # 0..k-1 of the k*V canvas — beam 0, vocab ids 0..k-1
+                # (Beam.py:74-77 + topk tie order). Pin killed rows' ids to
+                # that same sequence so the per-beam-top-k candidate set
+                # reproduces the identical junk tokens.
+                ids_top = jnp.where(
+                    (last == C.EOS)[:, :, None],
+                    jnp.arange(k, dtype=jnp.int32)[None, None, :], ids_top)
                 cand = wp_top + state.scores[:, :, None]
                 cand = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, cand)
                 best_scores, best_flat = jax.lax.top_k(
@@ -435,8 +452,6 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                 v = wp.shape[-1]
 
                 # --- advance (Beam.py:68-117) -----------------------------
-                last = jnp.take_along_axis(
-                    state.seqs, jnp.full((b, k, 1), 1, jnp.int32) * (t - 1), axis=2)[..., 0]
                 beam_lk = wp + state.scores[:, :, None]
                 beam_lk = jnp.where((last == C.EOS)[:, :, None], NEG_BIG, beam_lk)
                 best_scores, best_ids = jax.lax.top_k(beam_lk.reshape(b, k * v), k)
@@ -482,13 +497,17 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             newly_done = st.fin_count >= specific
 
             # --- max_len fallback (Beam.py:111-116) -----------------------
-            is_last = t == max_len - 1
-            empty = (st.fin_count == 0) & active
-            fallback = jnp.broadcast_to(
-                (is_last & empty)[:, None], (b, k))
-            st = _append_finished(st, fallback, best_scores, new_seqs, t, specific)
+            # only the final step can accept fallback rows; cond skips the
+            # whole hypothesis-buffer scatter on every other iteration
+            def do_fallback(s: BeamState) -> BeamState:
+                empty = (s.fin_count == 0) & active
+                fallback = jnp.broadcast_to(empty[:, None], (b, k))
+                return _append_finished(s, fallback, best_scores, new_seqs,
+                                        t, specific)
 
-            st = st._replace(done=st.done | newly_done | jnp.full((b,), False))
+            st = jax.lax.cond(t == max_len - 1, do_fallback, lambda s: s, st)
+
+            st = st._replace(done=st.done | newly_done)
             return st, kc, vc, pk
 
         # while_loop instead of a fixed scan: stops as soon as every instance

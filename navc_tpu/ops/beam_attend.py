@@ -54,10 +54,15 @@ MASK_NEG = -1e30
 
 import os as _os
 
-_PREC = {"default": jax.lax.Precision.DEFAULT,
-         "high": jax.lax.Precision.HIGH,
-         "highest": jax.lax.Precision.HIGHEST}[
-    _os.environ.get("NAVC_ATTEND_PREC", "highest")]
+_PREC_NAMES = {"default": jax.lax.Precision.DEFAULT,
+               "high": jax.lax.Precision.HIGH,
+               "highest": jax.lax.Precision.HIGHEST}
+_PREC_ENV = _os.environ.get("NAVC_ATTEND_PREC", "highest")
+if _PREC_ENV not in _PREC_NAMES:
+    raise ValueError(
+        "NAVC_ATTEND_PREC=%r; expected one of %s"
+        % (_PREC_ENV, sorted(_PREC_NAMES)))
+_PREC = _PREC_NAMES[_PREC_ENV]
 
 
 def pick_ltile(l: int, h: int) -> int:

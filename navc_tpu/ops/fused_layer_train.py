@@ -55,8 +55,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_layer import (MASK_FILL, SQRT_2_OVER_PI, WEIGHT_KEYS, _pad2,
-                          _pad3, _round_up)
+from .fused_layer import (MASK_FILL, SQRT_2_OVER_PI, WEIGHT_KEYS, _gelu_new,
+                          _pad2, _pad3, _round_up)
 
 # int32 views of the murmur3/xxhash mixing constants (wrapping arithmetic)
 _MC1 = -1640531527   # 0x9E3779B9
@@ -104,10 +104,6 @@ def _dropmul(v, seed, tile, site: int, p: float):
     bits = _hash24(seed, tile, site, v.shape[0], v.shape[1])
     keep = (bits >= th).astype(jnp.float32) * jnp.float32(1.0 / (1.0 - p))
     return v * keep
-
-
-def _gelu_new(x):
-    return 0.5 * x * (1.0 + jnp.tanh(SQRT_2_OVER_PI * (x + 0.044715 * x * x * x)))
 
 
 def _gelu_new_grad(a):
@@ -574,7 +570,12 @@ def _get_layer_fn(n_head: int, tb: int, causal: bool, p: float,
                 if weights[key].ndim == 1:
                     gval = gval[0]
             dweights[key] = gval.astype(weights[key].dtype)
-        dkp = np.zeros(kp_mask.shape, jax.dtypes.float0)
+        # float0 cotangents are only legal for integer/bool primals; the
+        # docstring allows bool OR float masks, so match the primal dtype
+        if jnp.issubdtype(jnp.result_type(kp_mask), jnp.inexact):
+            dkp = jnp.zeros(kp_mask.shape, jnp.result_type(kp_mask))
+        else:
+            dkp = np.zeros(kp_mask.shape, jax.dtypes.float0)
         dseed = np.zeros(seed.shape, jax.dtypes.float0)
         return (dx.astype(x.dtype), denc.astype(enc.dtype), dkp,
                 dweights, dseed)

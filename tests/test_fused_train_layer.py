@@ -213,3 +213,25 @@ def test_hash_mask_keep_rate():
     assert abs(frac - 0.5) < 0.02
     # rows decorrelated: no column identical across adjacent rows
     assert (bits[0] != bits[1]).mean() > 0.99
+
+
+def test_grad_with_float_kp_mask():
+    """The docstring allows bool OR float masks; a float mask primal must get
+    a float (not float0) cotangent from the custom bwd rule."""
+    cfg, model, variables, enc, tokens = _setup("NAB")
+    emb = model.apply(variables, tokens, enc,
+                      method=lambda m, t, e: m.nar_embed(t, e))
+    weights = layer_weights_from_params(
+        variables["params"]["decoder"]["layer_0"])
+    fmask = (tokens == C.PAD).astype(jnp.float32)
+
+    def loss(x, mask):
+        out = fused_bert_layer_train(
+            x, enc, mask, weights, jnp.zeros((1,), jnp.int32),
+            n_head=cfg.num_attention_heads, tb=2, causal=False,
+            p_hidden=0.0, compute_dtype=jnp.float32, interpret=True)
+        return jnp.sum(out ** 2)
+
+    gx, gm = jax.grad(loss, argnums=(0, 1))(emb, fmask)
+    assert gx.shape == emb.shape and np.isfinite(np.asarray(gx)).all()
+    assert gm.shape == fmask.shape and gm.dtype == jnp.float32
