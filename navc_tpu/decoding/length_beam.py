@@ -66,10 +66,12 @@ def enlarge(x: jnp.ndarray, beam_size: int) -> jnp.ndarray:
 
 def select_best_length_beam(hypotheses: jnp.ndarray, lprobs: jnp.ndarray,
                             lengths: jnp.ndarray, bsz: int, lbs: int,
-                            beam_alpha: float) -> jnp.ndarray:
+                            beam_alpha: float):
     """Pick the best length beam by sum(lprobs) / len**alpha.
 
-    Reference na_generate.py:66-77.
+    Reference na_generate.py:66-77. Returns (best hypotheses (B, L),
+    best beam index (B,)) — the index feeds the candidate-collection gather
+    so both consumers share one scoring formula.
     """
     max_len = hypotheses.shape[-1]
     hyp = hypotheses.reshape(bsz, lbs, max_len)
@@ -77,4 +79,5 @@ def select_best_length_beam(hypotheses: jnp.ndarray, lprobs: jnp.ndarray,
     lens = lengths.reshape(bsz, lbs).astype(jnp.float32)
     avg = lp.sum(-1) / jnp.power(lens, beam_alpha)
     best = jnp.argmax(avg, axis=-1)  # (B,)
-    return jnp.take_along_axis(hyp, best[:, None, None], axis=1)[:, 0, :]
+    return (jnp.take_along_axis(hyp, best[:, None, None], axis=1)[:, 0, :],
+            best)

@@ -139,7 +139,13 @@ def _predict_fn(model, variables, ctx: NARContext,
             static = jnp.broadcast_to(
                 _pad_pos_table(emb_p["position_embeddings"]["embedding"], l)[None],
                 (n_rows, l, word_table.shape[1]))
-            if cfg.with_category and ctx.category is not None:
+            if cfg.with_category:
+                # the flax path hard-asserts on a missing category
+                # (models/layers.py); the fused path must not silently
+                # embed without it
+                if ctx.category is None:
+                    raise ValueError(
+                        "with_category model requires category ids")
                 cat = jnp.asarray(emb_p["category_embeddings"]["embedding"])[
                     ctx.category.reshape(n_rows, -1)[:, 0]]
                 static = static + cat[:, None, :]
@@ -255,7 +261,10 @@ def _teacher_score_fn(teacher_model, teacher_variables, ctx: NARContext,
             static = jnp.broadcast_to(
                 _pad_pos_table(emb_p["position_embeddings"]["embedding"], l)[None],
                 (n, l, word_table.shape[1]))
-            if tcfg.with_category and ctx.teacher_category is not None:
+            if tcfg.with_category:
+                if ctx.teacher_category is None:
+                    raise ValueError(
+                        "with_category teacher requires category ids")
                 cat = jnp.asarray(emb_p["category_embeddings"]["embedding"])[
                     ctx.teacher_category.reshape(n, -1)[:, 0]]
                 static = static + cat[:, None, :]
@@ -513,11 +522,19 @@ def _left2right(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config):
         tokens, token_probs = carry
         current = step * cfg.q
         sel = init_mask & (ordinal >= current) & (ordinal < current + cfg.q)
-        masked = jnp.where(sel, C.MASK, tokens)
-        new_ids, new_probs = predict(masked)
-        new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
-        tokens = jnp.where(sel, new_ids, masked)
-        token_probs = jnp.where(sel, new_probs, token_probs)
+
+        def do_round(tokens, token_probs):
+            masked = jnp.where(sel, C.MASK, tokens)
+            new_ids, new_probs = predict(masked)
+            new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+            return (jnp.where(sel, new_ids, masked),
+                    jnp.where(sel, new_probs, token_probs))
+
+        # the reference stops as soon as the masked set is exhausted
+        # (algorithms.py:313-315); an empty selection round would keep the
+        # canvas unchanged, so skipping its forward is numerics-identical
+        tokens, token_probs = jax.lax.cond(
+            jnp.any(sel), do_round, lambda t, p: (t, p), tokens, token_probs)
         return (tokens, token_probs), None
 
     (tokens, token_probs), _ = jax.lax.scan(
@@ -539,30 +556,32 @@ def _easy_first(predict, teacher_score, tokens, pad_mask, lengths, cfg: Config):
     max_len = tokens.shape[1]
     tokens, token_probs, visual_mask = _ct_or_blank(predict, tokens, pad_mask, cfg)
 
-    n_steps = -(-max_len // cfg.q)
+    # The reference reveal loop runs until every mask is resolved OR the
+    # batch-global remaining count stops decreasing (the dead-loop guard,
+    # algorithms.py:382-389) — when the model argmax-predicts <mask> into a
+    # revealed slot the round count can exceed ceil(max_len/q), so a fixed
+    # scan would truncate; a while_loop with the same global stall guard
+    # reproduces the exact termination.
+    def cond(carry):
+        tokens, _, pre = carry
+        remain = (tokens == C.MASK).sum()
+        return (remain > 0) & (remain != pre)
 
-    def body(carry, _):
-        tokens, token_probs = carry
+    def body(carry):
+        tokens, token_probs, _ = carry
         mask_ind = tokens == C.MASK
         remain = mask_ind.sum(-1)
+        new_ids, new_probs = predict(tokens)
+        new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
+        confid = jnp.where(mask_ind, new_probs, 0.0)
+        k = jnp.minimum(cfg.q, remain)
+        best = rank_mask_largest(confid, k)
+        return (jnp.where(best, new_ids, tokens),
+                jnp.where(best, new_probs, token_probs),
+                remain.sum())
 
-        def do_round(tokens, token_probs):
-            new_ids, new_probs = predict(tokens)
-            new_ids, new_probs = _apply_pad(new_ids, new_probs, pad_mask)
-            confid = jnp.where(mask_ind, new_probs, 0.0)
-            k = jnp.minimum(cfg.q, remain)
-            best = rank_mask_largest(confid, k)
-            return (jnp.where(best, new_ids, tokens),
-                    jnp.where(best, new_probs, token_probs))
-
-        # skip the forward entirely once every row is done
-        any_remain = remain.sum() > 0
-        tokens, token_probs = jax.lax.cond(
-            any_remain, do_round, lambda t, p: (t, p), tokens, token_probs)
-        return (tokens, token_probs), None
-
-    (tokens, token_probs), _ = jax.lax.scan(
-        body, (tokens, token_probs), jnp.arange(n_steps))
+    tokens, token_probs, _ = jax.lax.while_loop(
+        cond, body, (tokens, token_probs, jnp.asarray(0, jnp.int32)))
 
     tokens, token_probs = _refinement_tail(
         predict, tokens, token_probs, pad_mask, seq_lens, cfg, visual_mask)
@@ -655,17 +674,15 @@ def make_nar_generator(cfg: Config, model, teacher_model=None,
         else:
             hyp, lprobs = algorithm(predict, teacher_score, tokens, pad_mask,
                                     lengths, cfg)
-        best = select_best_length_beam(hyp, lprobs, lengths, bsz, lbs, cfg.beam_alpha)
+        best, best_idx = select_best_length_beam(
+            hyp, lprobs, lengths, bsz, lbs, cfg.beam_alpha)
         best = best[:, :cfg.max_len]  # drop the aligned-canvas PAD tail
         if not collect:
             return best
 
         # gather each iteration's stacks at the winning length beam
-        # (reference na_generate.py:80-106)
-        max_len = hyp.shape[-1]
-        lens = lengths.reshape(bsz, lbs).astype(jnp.float32)
-        avg = lprobs.reshape(bsz, lbs, max_len).sum(-1) / jnp.power(lens, cfg.beam_alpha)
-        best_idx = jnp.argmax(avg, axis=-1)  # (B,)
+        # (reference na_generate.py:80-106) — same best_idx as the returned
+        # hypotheses by construction
 
         def gather_best(arr):
             # (T, B*lbs, *rest) -> (B, T, *rest) at the best length beam

@@ -88,6 +88,10 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
     n, d = h.shape
     d2, v = w.shape
     assert d == d2
+    # shrink the row tile to the (8-aligned) batch so small calls — sparse
+    # qsub refinement steps, B=1 latency decodes — don't pay for a
+    # mostly-padding vocab matmul
+    tn = min(tn, _round_up(max(n, 8), 8))
     n_pad = _round_up(max(n, 8), tn)
     v_pad = _round_up(v, tv)
     h_p = (h.astype(jnp.bfloat16) if n == n_pad else
@@ -184,6 +188,7 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
     """
     n, d = h.shape
     v = w.shape[1]
+    tn = min(tn, _round_up(max(n, 8), 8))  # small calls: one exact row tile
     n_pad = _round_up(max(n, 8), tn)
     v_pad = _round_up(v, tv)
     h_p = (h.astype(jnp.bfloat16) if n == n_pad else
@@ -308,6 +313,7 @@ def fused_project_topk(h: jnp.ndarray, w: jnp.ndarray,
     """
     n, d = h.shape
     v = w.shape[1]
+    tn = min(tn, _round_up(max(n, 8), 8))  # small calls: one exact row tile
     n_pad = _round_up(max(n, 8), tn)
     v_pad = _round_up(v, tv)
     h_p = (h.astype(jnp.bfloat16) if n == n_pad else

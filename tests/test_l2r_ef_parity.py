@@ -82,3 +82,46 @@ def test_left2right_zero_refinement_iterations():
         np_predict, None, np.asarray(tokens), np.asarray(pad_mask),
         np.asarray(lengths), 1, 0, False)
     np.testing.assert_array_equal(np.asarray(jax_tokens), ref_tokens)
+
+
+def test_easy_first_mask_repredicting_model():
+    """A model that argmax-predicts <mask> into a revealed slot forces the
+    reference reveal loop past ceil(max_len/q) rounds before its global
+    stall guard fires (algorithms.py:382-389) — the while_loop port must
+    reproduce the exact same termination, leaving the stubborn slot as a
+    literal <mask> with its probability updated."""
+    from navc_tpu import constants as C
+
+    cfg = small_cfg("NAB").replace(paradigm="ef", q=2, q_iterations=0,
+                                   use_ct=False)
+    max_len = cfg.max_len
+    lengths = np.asarray([max_len - 1, 5, max_len - 1], np.int32)
+    pad_mask_np = np.arange(max_len)[None, :] >= lengths[:, None]
+    tokens_np = np.where(pad_mask_np, C.PAD, C.MASK).astype(np.int32)
+
+    cols = np.arange(max_len)
+    ids_row = np.where(cols == 0, C.MASK, 6 + cols).astype(np.int32)
+    probs_row = np.where(cols == 0, 0.9, 0.5 / (cols + 1.0)).astype(np.float32)
+
+    def rig_predict_jax(tokens):
+        n = tokens.shape[0]
+        return (jnp.broadcast_to(jnp.asarray(ids_row), (n, max_len)),
+                jnp.broadcast_to(jnp.asarray(probs_row), (n, max_len)))
+
+    def rig_predict_np(tokens):
+        n = tokens.shape[0]
+        return (np.broadcast_to(ids_row, (n, max_len)).copy(),
+                np.broadcast_to(probs_row, (n, max_len)).copy())
+
+    jax_tokens, jax_lprobs = _easy_first(
+        rig_predict_jax, None, jnp.asarray(tokens_np),
+        jnp.asarray(pad_mask_np), jnp.asarray(lengths), cfg)
+    ref_tokens, ref_lprobs = ref.np_easy_first(
+        rig_predict_np, None, tokens_np.copy(), pad_mask_np,
+        lengths, cfg.q, cfg.q_iterations, False)
+
+    # the stubborn slot survives as a literal <mask> on both sides
+    assert (ref_tokens[:, 0] == C.MASK).all()
+    np.testing.assert_array_equal(np.asarray(jax_tokens), ref_tokens)
+    np.testing.assert_allclose(np.asarray(jax_lprobs), ref_lprobs,
+                               rtol=1e-6, atol=1e-6)
