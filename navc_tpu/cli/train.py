@@ -28,6 +28,12 @@ def main(argv=None):
         argv.remove("--distributed")
         from ..parallel import initialize
         initialize()
+    # --resume: restore params/optimizer/lr/k-best state from the rolling
+    # checkpoint.ckpt in the run directory (capability beyond the reference,
+    # which saves no optimizer state — misc/run.py:315-318)
+    resume = "--resume" in argv
+    if resume:
+        argv.remove("--resume")
 
     from ..runtime.compile_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -54,12 +60,19 @@ def main(argv=None):
     # warm start from a full pretrained checkpoint (reference train.py:85-87)
     # is handled inside train_network_all via cfg.pretrained_path
     loop_fn = train_network_all
+    loop_kw = dict(workdir=workdir, info_corpus=info_corpus)
     if distributed:
         import jax
         if jax.process_count() > 1:
             from ..runtime.distributed_loop import train_network_all_multihost
             loop_fn = train_network_all_multihost
-    out = loop_fn(cfg, workdir=workdir, info_corpus=info_corpus)
+    if loop_fn is train_network_all:
+        loop_kw["resume"] = resume
+    elif resume:
+        raise NotImplementedError(
+            "--resume is single-host only (the multi-host rolling checkpoint "
+            "stores no optimizer state)")
+    out = loop_fn(cfg, **loop_kw)
     if "test_res" in out:
         print({k: v for k, v in out["test_res"].items()})
     return out

@@ -79,13 +79,17 @@ def train_network_all_multihost(cfg: Config, workdir: Optional[str] = None,
         if pre.get("batch_stats"):
             variables["batch_stats"] = pre["batch_stats"]
     teacher_model, teacher_variables, teacher_cfg = None, None, None
-    if cfg.load_teacher_weights and cfg.teacher_path and \
-            os.path.exists(cfg.teacher_path):
+    if cfg.load_teacher_weights and cfg.teacher_path:
+        if not os.path.exists(cfg.teacher_path):
+            raise FileNotFoundError(
+                "teacher_path not found: %s" % cfg.teacher_path)
         from .checkpoint import load_satisfied_weights
         variables = load_satisfied_weights(variables, cfg.teacher_path,
                                            verbose=verbose and primary)
-    if cfg.with_teacher and cfg.method in ("NAB", "NACF") and \
-            cfg.teacher_path and os.path.exists(cfg.teacher_path):
+    if cfg.with_teacher and cfg.method in ("NAB", "NACF") and cfg.teacher_path:
+        if not os.path.exists(cfg.teacher_path):
+            raise FileNotFoundError(
+                "teacher_path not found: %s" % cfg.teacher_path)
         from .checkpoint import load_model_and_config
         teacher_model, teacher_variables, teacher_cfg, _ = \
             load_model_and_config(cfg.teacher_path)
@@ -138,7 +142,11 @@ def train_network_all_multihost(cfg: Config, workdir: Optional[str] = None,
             local_stats = (_host_local_params(state.batch_stats)
                            if state.batch_stats else {})
             if primary:
-                eval_vars = {"params": local_params, "batch_stats": local_stats}
+                # device_put once: numpy trees fed to a jitted decode
+                # re-upload the full parameter set EVERY batch (measured
+                # 4.4x decode slowdown, checkpoint.py:53-57)
+                eval_vars = jax.device_put(
+                    {"params": local_params, "batch_stats": local_stats})
                 res = run_eval(cfg, evaluator, eval_vars, vali_loader, vocab,
                                teacher_variables=teacher_variables,
                                analyze=True)
@@ -190,11 +198,16 @@ def train_network_all_multihost(cfg: Config, workdir: Optional[str] = None,
             if references is not None:
                 test_loader.dataset.set_references(references)
             best_path = os.path.join(workdir, "best.ckpt")
-            if os.path.exists(best_path):
+            if not os.path.exists(best_path) and cfg.k_best_model > 1:
+                # k>1 keeps models under tmp_models/ and never writes
+                # best.ckpt (see loop.py final-test note)
+                best_path = best_model.best_entry_path() or best_path
+            if best_path and os.path.exists(best_path):
                 bmodel, bvars, bcfg, _ = load_model_and_config(best_path)
                 bevaluator = Evaluator(bcfg, bmodel, teacher_cfg, teacher_model)
             else:
-                bvars = {"params": local_params, "batch_stats": local_stats}
+                bvars = jax.device_put(
+                    {"params": local_params, "batch_stats": local_stats})
                 bevaluator = evaluator
             out["test_res"] = run_eval(cfg, bevaluator, bvars, test_loader,
                                        vocab, teacher_variables=teacher_variables,

@@ -94,14 +94,22 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
     pred_captions: Dict[str, list] = defaultdict(list)
     best_candidate_sents: Dict[str, list] = defaultdict(list)
     best_candidate_score: Dict[str, list] = defaultdict(list)
+    # the reference collects AR candidates whenever collect+ARFormer,
+    # independent of topk (run.py:126) — a topk==1 collect run must still
+    # produce caption/score pairs, not an empty pickle
     collect_ar = (cfg.decoding_type == "ARFormer" and evaluator.collect is False
-                  and collect_path is not None and cfg.topk > 1)
+                  and collect_path is not None)
 
     all_time = 0.0
     n_batches = 0
     length_loss_sum, length_loss_n = 0.0, 0
 
     for batch in loader:
+        if n_batches == 0 and cfg.batch_size == 1:
+            # warm the jit cache outside the timed region: the reference's
+            # eager torch protocol has no compile cost to exclude, ours does
+            # (scripts/latency.py warms up for the same reason)
+            evaluator.decode_batch(variables, batch, teacher_variables)
         hyp, hyp_scores, enc, collected, gen_time = evaluator.decode_batch(
             variables, batch, teacher_variables)
         all_time += gen_time
@@ -116,14 +124,22 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
                     best_candidate_sents[vid].append(
                         to_sentence(iter_toks[k, t], vocab))
                     best_candidate_score[vid].append(iter_probs[k, t].tolist())
-        if collect_ar and hyp_scores is not None:
-            scores_np = np.asarray(hyp_scores)
+        # unify (B, L) single-hypothesis and (B, topk, L) n-best shapes the
+        # way the reference unsqueezes 2-D outputs (run.py:145-148)
+        hyp3 = hyp[:, None, :] if hyp.ndim == 2 else hyp
+        scores3 = None
+        if hyp_scores is not None:
+            scores3 = np.asarray(hyp_scores)
+            if scores3.ndim == 1:
+                scores3 = scores3[:, None]
+
+        if collect_ar and scores3 is not None:
             for k in range(batch["num_valid"]):
                 vid = batch["video_ids"][k]
-                for j in range(hyp.shape[1]):
+                for j in range(hyp3.shape[1]):
                     pred_captions[vid].append({
-                        "caption": to_sentence(hyp[k, j], vocab),
-                        "score": float(scores_np[k, j])})
+                        "caption": to_sentence(hyp3[k, j], vocab),
+                        "score": float(scores3[k, j])})
 
         if cfg.decoding_type == "NARFormer" and "length_target" in batch:
             ll = kl_length_loss(
@@ -133,16 +149,26 @@ def run_eval(cfg: Config, evaluator: Evaluator, variables, loader, vocab,
             length_loss_n += batch["num_valid"]
 
         if not collect_ar:
+            if not no_score and hyp3.shape[1] != 1:
+                # the reference asserts one hypothesis per video when
+                # scoring (run.py:158); scoring n-best lists would corrupt
+                # the metrics silently
+                raise ValueError(
+                    "scoring requires topk == 1 (got %d hypotheses/video); "
+                    "use no_score or collect mode" % hyp3.shape[1])
             for k in range(batch["num_valid"]):
                 vid = batch["video_ids"][k]
-                sent = to_sentence(hyp[k], vocab)
-                # 4-gram dedup only when requested — the reference's flag is
-                # unset by default (run.py:163: opt.get('duplicate', False))
-                if cfg.duplicate and cfg.decoding_type == "NARFormer":
-                    sent, _ = duplicate(sent)
-                if print_sent:
-                    print("%s: %s" % (vid, sent))
-                pred_captions[vid].append({"image_id": vid, "caption": sent})
+                for j in range(hyp3.shape[1]):
+                    sent = to_sentence(hyp3[k, j], vocab)
+                    # 4-gram dedup only when requested — the reference's
+                    # flag is unset by default (run.py:163:
+                    # opt.get('duplicate', False))
+                    if cfg.duplicate and cfg.decoding_type == "NARFormer":
+                        sent, _ = duplicate(sent)
+                    if print_sent:
+                        print("%s: %s" % (vid, sent))
+                    pred_captions[vid].append(
+                        {"image_id": vid, "caption": sent})
 
     if collect_path is not None:
         import pickle

@@ -142,6 +142,36 @@ class KBestQueue:
         self._seq += 1
         return self._seq
 
+    def state_dict(self) -> Dict:
+        """Serializable selection state, so mid-training resume does not
+        reset the relative-Sum normalizers / early-stop counter — a reset
+        queue would score the first post-resume epoch Sum=1.0 and clobber
+        best.ckpt with a possibly-worse model."""
+        return {
+            "heap": [list(e) for e in self.heap],
+            "seq": self._seq,
+            "continuous_failed_count": self.continuous_failed_count,
+            "best_res": dict(self.best_res),
+            "best_": dict(self.best_),
+        }
+
+    def load_state_dict(self, state: Dict) -> None:
+        self.heap = [tuple(e) for e in state.get("heap", [])]
+        heapq.heapify(self.heap)
+        self._seq = int(state.get("seq", 0))
+        self.continuous_failed_count = int(
+            state.get("continuous_failed_count", 0))
+        self.best_res = dict(state.get("best_res", self.best_res))
+        best = state.get("best_")
+        if best:
+            self.best_ = {k: float(v) for k, v in best.items()}
+
+    def best_entry_path(self) -> Optional[str]:
+        """Checkpoint path of the highest-Sum entry (k>1 selection)."""
+        if not self.heap:
+            return None
+        return max(self.heap, key=lambda e: e[0])[3]
+
     def _print_info(self, res: Dict) -> str:
         return ("{:2d}, {:6.2f} {} {:6.2f}\tB {:5.2f}({:5.2f})\tM {:5.2f}({:5.2f})"
                 "\tR {:5.2f}({:5.2f})\tC {:5.2f}({:5.2f})").format(

@@ -22,7 +22,7 @@ from .checkpoint import (load_model_and_config, load_satisfied_weights,
                          save_checkpoint)
 from .evaluate import Evaluator, run_eval
 from .logger import AverageMeter, CsvLogger, KBestQueue
-from .optim import LrSchedule
+from .optim import LrSchedule, set_learning_rate
 from .train_step import TrainState, create_train_state, make_train_step
 
 METRIC_FIELDS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4",
@@ -53,7 +53,7 @@ def run_train_epoch(cfg: Config, train_step, state: TrainState, loader: BatchLoa
             device_prefetch(array_batches(), depth=cfg.prefetch_depth,
                             put_fn=put_fn)):
         lr = lr_schedule.step_lr()
-        state.opt_state.hyperparams["learning_rate"] = lr
+        set_learning_rate(state.opt_state, lr)
         rng_key, step_key = jax.random.split(rng_key)
         state, metrics = train_step(state, device_batch, step_key)
         pending.append(metrics)
@@ -98,8 +98,14 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
     rng = jax.random.PRNGKey(cfg.seed)
     variables = init_params(model, rng, cfg)
 
-    # full pretrained warm start (reference train.py:85-87)
-    if cfg.pretrained_path and os.path.exists(cfg.pretrained_path):
+    # full pretrained warm start (reference train.py:85-87). A configured
+    # path that does not exist is fatal, like the reference's asserts
+    # (opts.py:208, implicit load failure run.py:274-279) — silently
+    # training from random init would not be the configured experiment.
+    if cfg.pretrained_path:
+        if not os.path.exists(cfg.pretrained_path):
+            raise FileNotFoundError(
+                "pretrained_path not found: %s" % cfg.pretrained_path)
         from .checkpoint import load_checkpoint
         pre = load_checkpoint(cfg.pretrained_path)
         variables = {"params": pre["params"]}
@@ -108,10 +114,15 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
 
     # teacher warm start + rescoring teacher (reference run.py:274-291)
     teacher_model, teacher_variables, teacher_cfg = None, None, None
-    if cfg.load_teacher_weights and cfg.teacher_path and os.path.exists(cfg.teacher_path):
+    if cfg.load_teacher_weights and cfg.teacher_path:
+        if not os.path.exists(cfg.teacher_path):
+            raise FileNotFoundError(
+                "teacher_path not found: %s" % cfg.teacher_path)
         variables = load_satisfied_weights(variables, cfg.teacher_path, verbose=verbose)
-    if cfg.with_teacher and cfg.method in ("NAB", "NACF") and cfg.teacher_path \
-            and os.path.exists(cfg.teacher_path):
+    if cfg.with_teacher and cfg.method in ("NAB", "NACF") and cfg.teacher_path:
+        if not os.path.exists(cfg.teacher_path):
+            raise FileNotFoundError(
+                "teacher_path not found: %s" % cfg.teacher_path)
         teacher_model, teacher_variables, teacher_cfg, _ = \
             load_model_and_config(cfg.teacher_path)
 
@@ -120,10 +131,12 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
     lr_schedule = LrSchedule.from_config(cfg)
 
     start_epoch = 0
+    kbest_resume = None
     resume_path = os.path.join(workdir, "checkpoint.ckpt")
     if resume and os.path.exists(resume_path):
         from .checkpoint import load_checkpoint
         ckpt = load_checkpoint(resume_path)
+        kbest_resume = ckpt.get("kbest")
         if ckpt.get("opt_state") is not None:
             state = TrainState(
                 params=ckpt["params"],
@@ -155,6 +168,10 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
         k_best_model=cfg.k_best_model,
         folder_path=os.path.join(workdir, "tmp_models"),
         standard=cfg.standard)
+    if kbest_resume:
+        # without this, resume resets the relative-Sum normalizers and the
+        # first post-resume eval (trivially Sum=1.0) clobbers best.ckpt
+        best_model.load_state_dict(kbest_resume)
 
     evaluator = Evaluator(cfg, model, teacher_cfg, teacher_model)
     rng_key = jax.random.PRNGKey(cfg.seed + 1)
@@ -197,7 +214,6 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
                 "validate_result": res,
                 "settings": cfg,
             }
-            save_checkpoint(ckpt, workdir, "checkpoint.ckpt")
 
             def _save_best(dst, _ckpt=ckpt):
                 # best checkpoints drop optimizer state (eval-only artifacts)
@@ -206,6 +222,9 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
                 save_checkpoint(slim, os.path.dirname(dst), os.path.basename(dst))
 
             keep, info = best_model.check(res, workdir, cfg.tolerence, _save_best)
+            # rolling resume checkpoint carries the post-check queue state
+            ckpt["kbest"] = best_model.state_dict()
+            save_checkpoint(ckpt, workdir, "checkpoint.ckpt")
             if verbose:
                 logger.write_text(str(info))
             if not keep:
@@ -216,7 +235,14 @@ def train_network_all(cfg: Config, workdir: Optional[str] = None,
 
     if not cfg.no_test:
         best_path = os.path.join(workdir, "best.ckpt")
-        if os.path.exists(best_path):
+        if not os.path.exists(best_path) and cfg.k_best_model > 1:
+            # with k>1 the queue writes tmp_models/model_NNNN.ckpt, never
+            # best.ckpt (reference logger.py:134-151, whose final-test
+            # subprocess would simply crash on the missing best.pth.tar);
+            # evaluate the top-Sum kept model instead of silently testing
+            # the last epoch's weights
+            best_path = best_model.best_entry_path() or best_path
+        if best_path and os.path.exists(best_path):
             bmodel, bvars, bcfg, _ = load_model_and_config(best_path)
             bevaluator = Evaluator(bcfg, bmodel, teacher_cfg, teacher_model)
         else:

@@ -12,6 +12,7 @@ all-reduce automatically (see navc_tpu.parallel.mesh for the shardings).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -33,11 +34,24 @@ class TrainState(NamedTuple):
 
 def create_train_state(cfg: Config, model: Seq2Seq, variables: Dict) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = make_optimizer(cfg)
-    params = variables["params"]
+
+    # the train step DONATES its TrainState buffers (in-place reuse instead
+    # of double-buffering params+moments in HBM); copy the caller's leaves
+    # into the state so their `variables` tree stays valid after step 1.
+    # Multi-device (sharded/global) leaves are passed through — a generic
+    # copy would gather them, and those callers construct fresh trees anyway.
+    def _own(x):
+        if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+            return x
+        return jnp.array(x)
+
+    params = jax.tree_util.tree_map(_own, variables["params"])
+    batch_stats = jax.tree_util.tree_map(
+        _own, variables.get("batch_stats", {}))
     opt_state = tx.init(params)
     return TrainState(
         params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=batch_stats,
         opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
     ), tx
@@ -61,6 +75,10 @@ def _fused_train_apply(cfg: Config, model: Seq2Seq, variables, feats, tgt,
     from ..ops.fused_layer import layer_weights_from_params
     from ..ops.fused_layer_train import fused_bert_layer_train
 
+    # 3-way split keeps the historical RNG stream layout (PARITY_TRAINING
+    # artifacts); rng_emb is deliberately unused — embedding dropout is
+    # folded into the fused kernel's p_input stream (rng_seed), NOT applied
+    # twice, so do not thread rng_emb into the embed call
     rng_enc, rng_emb, rng_seed = jax.random.split(dropout_rng, 3)
     kwargs: Dict[str, Any] = {"rngs": {"dropout": rng_enc}}
     if mutable:
@@ -180,7 +198,10 @@ def make_train_step(cfg: Config, model: Seq2Seq, tx: optax.GradientTransformatio
         loss, metrics = compute_losses(cfg, results, batch.get("valid_mask"))
         return loss, (metrics, new_batch_stats)
 
-    @jax.jit
+    # donate the incoming state: the caller rebinds it every step, so the
+    # old params/opt-state buffers can be reused in place instead of
+    # double-buffering ~2x (params + Adam moments) in HBM
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict, dropout_rng) -> Tuple[TrainState, Dict]:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_batch_stats)), grads = grad_fn(

@@ -58,3 +58,64 @@ def test_ar_nbest():
     gen1 = make_ar_generator(cfg1, model, jit=False)
     h1, s1 = gen1(variables, enc, None)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(hyps[:, 0]))
+
+
+def test_ar_collect_run_eval(tmp_path):
+    """The reference collects AR candidates whenever collect+ARFormer,
+    independent of topk (run.py:126): a topk==1 collect run must produce
+    caption/score pairs, not an empty pickle."""
+    import os
+    import pickle
+
+    from navc_tpu.data.loader import get_loader
+    from navc_tpu.data.synthetic import make_synthetic_corpus, make_synthetic_feats
+    from navc_tpu.runtime.evaluate import Evaluator, run_eval
+
+    for topk in (1, 2):
+        cfg = small_cfg("ARB").replace(beam_size=3, topk=topk, batch_size=4)
+        corpus, refs = make_synthetic_corpus(cfg, n_videos=8, n_caps=2,
+                                             vocab_size=cfg.vocab_size)
+        feats = make_synthetic_feats(cfg, n_videos=8,
+                                     n_total_frames=cfg.n_total_frames)
+        loader = get_loader(cfg, "validate", info_corpus=corpus,
+                            in_memory_feats=feats)
+        loader.dataset.set_references(refs)
+        model = build_model(cfg)
+        variables = init_params(model, jax.random.PRNGKey(0), cfg)
+        ev = Evaluator(cfg, model)
+        path = os.path.join(str(tmp_path), "collect_top%d.pkl" % topk)
+        out = run_eval(cfg, ev, variables, loader,
+                       loader.dataset.get_vocab(), collect_path=path)
+        assert out["collected"] > 0
+        with open(path, "rb") as f:
+            collected = pickle.load(f)
+        assert len(collected) == len(loader.dataset)
+        for vid, entries in collected.items():
+            assert len(entries) == topk
+            for e in entries:
+                assert set(e) == {"caption", "score"}
+                assert isinstance(e["score"], float)
+
+
+def test_scoring_rejects_nbest(tmp_path):
+    """Scoring n-best lists would corrupt metrics (the reference asserts one
+    hypothesis per video when scoring, run.py:158)."""
+    import pytest
+
+    from navc_tpu.data.loader import get_loader
+    from navc_tpu.data.synthetic import make_synthetic_corpus, make_synthetic_feats
+    from navc_tpu.runtime.evaluate import Evaluator, run_eval
+
+    cfg = small_cfg("ARB").replace(beam_size=3, topk=2, batch_size=4)
+    corpus, refs = make_synthetic_corpus(cfg, n_videos=8, n_caps=2,
+                                         vocab_size=cfg.vocab_size)
+    feats = make_synthetic_feats(cfg, n_videos=8,
+                                 n_total_frames=cfg.n_total_frames)
+    loader = get_loader(cfg, "validate", info_corpus=corpus,
+                        in_memory_feats=feats)
+    loader.dataset.set_references(refs)
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    ev = Evaluator(cfg, model)
+    with pytest.raises(ValueError, match="topk"):
+        run_eval(cfg, ev, variables, loader, loader.dataset.get_vocab())

@@ -291,7 +291,10 @@ def test_training_is_deterministic_per_seed(corpus_and_feats):
     corpus, refs, feats = corpus_and_feats
     cfg = small_cfg("NAB").replace(
         epochs=1, no_test=True, hidden_dropout_prob=0.1, encoder_dropout=0.1,
-        length_beam_size=2, iterations=2)
+        length_beam_size=2, iterations=2,
+        # a configured-but-missing teacher_path is now fatal (reference
+        # opts.py:208 asserts it exists); this test trains teacher-free
+        teacher_path="", load_teacher_weights=False, with_teacher=False)
     import tempfile
     losses = []
     for trial in range(2):
@@ -380,3 +383,28 @@ def test_flagship_synthetic_schema():
     for ch in cfg.modality.lower():
         arr = feats["feats_%s" % ch][vid]
         assert arr.shape == (16, getattr(cfg, "dim_%s" % ch))
+
+
+def test_kbest_state_roundtrip(tmp_path):
+    """Resume must not reset the relative-Sum normalizers / early-stop
+    counter: a reset queue scores the first post-resume epoch Sum=1.0 and
+    clobbers best.ckpt with a possibly-worse model."""
+    q1 = KBestQueue(k_best_model=1, standard=["Bleu_4", "CIDEr"])
+    saves = []
+    good = {"Bleu_4": 0.4, "METEOR": 0.2, "ROUGE_L": 0.5, "CIDEr": 0.8, "epoch": 0}
+    q1.check(good, str(tmp_path), tolerence=3, save_fn=saves.append)
+    assert len(saves) == 1
+
+    # fresh queue restored from the serialized state
+    q2 = KBestQueue(k_best_model=1, standard=["Bleu_4", "CIDEr"])
+    q2.load_state_dict(q1.state_dict())
+    worse = {"Bleu_4": 0.1, "METEOR": 0.1, "ROUGE_L": 0.2, "CIDEr": 0.2, "epoch": 1}
+    keep, _ = q2.check(worse, str(tmp_path), tolerence=3, save_fn=saves.append)
+    assert keep and len(saves) == 1, "worse post-resume epoch must not save"
+    assert q2.continuous_failed_count == 1
+    assert worse["Sum"] < 1.0  # normalizers survived the roundtrip
+    # an UNrestored queue would have scored it Sum=1.0 and saved
+    q3 = KBestQueue(k_best_model=1, standard=["Bleu_4", "CIDEr"])
+    fresh = dict(worse)
+    q3.check(fresh, str(tmp_path), tolerence=3, save_fn=saves.append)
+    assert fresh["Sum"] == 1.0 and len(saves) == 2
