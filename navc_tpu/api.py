@@ -18,7 +18,6 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from . import constants as C
 from .config import Config
 from .runtime.checkpoint import load_model_and_config
 from .runtime.evaluate import Evaluator
@@ -50,15 +49,29 @@ class CaptionPipeline:
                          **kw) -> "CaptionPipeline":
         model, variables, cfg, _ = load_model_and_config(model_path)
         tm = tv = tc = None
-        if teacher:
-            tm, tv, tc, _ = load_model_and_config(teacher)
+        dict_mapping = None
+        student_corpus = None
         vocab: Dict[int, str] = {}
         corpus_path = info_corpus or cfg.info_corpus
         if corpus_path:
             with open(corpus_path, "rb") as f:
-                vocab = pickle.load(f)["info"]["itow"]
+                student_corpus = pickle.load(f)
+            vocab = student_corpus["info"]["itow"]
+        if teacher:
+            tm, tv, tc, _ = load_model_and_config(teacher)
+            # teacher rescoring indexes teacher logits with student token
+            # ids; a teacher trained on a different vocabulary needs the
+            # id remap or every confidence read lands on the wrong word
+            # (reference misc/utils.py:33-51) — same derivation as
+            # cli/translate.py
+            if student_corpus is not None and tc.info_corpus:
+                from .runtime.sentence import get_dict_mapping
+                with open(tc.info_corpus, "rb") as f:
+                    teacher_corpus = pickle.load(f)
+                dict_mapping = get_dict_mapping(
+                    cfg, tc, student_corpus, teacher_corpus)
         return cls(model, variables, cfg, vocab, tm, tv, tc,
-                   use_pallas=use_pallas, **kw)
+                   dict_mapping=dict_mapping, use_pallas=use_pallas, **kw)
 
     # ------------------------------------------------------------------
     def caption_ids(self, feats: Dict[str, np.ndarray],
@@ -73,7 +86,13 @@ class CaptionPipeline:
         hyp, _, _, _, _ = self.evaluator.decode_batch(
             self.variables, batch,
             teacher_variables=self.teacher_variables)
-        return np.asarray(hyp)
+        hyp = np.asarray(hyp)
+        if hyp.ndim == 3:
+            # AR checkpoints saved with topk > 1 return (B, topk, L) n-best
+            # sorted by descending score (decoding/beam.py); the pipeline
+            # contract is one caption per item — take the best
+            hyp = hyp[:, 0]
+        return hyp
 
     def caption(self, feats: Dict[str, np.ndarray],
                 category: Optional[np.ndarray] = None) -> List[str]:

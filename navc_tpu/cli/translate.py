@@ -10,14 +10,12 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
-from .. import constants as C
 from ..config import Config
 from ..data.loader import get_loader
 from ..runtime.checkpoint import load_model_and_config
 from ..runtime.evaluate import Evaluator, run_eval
 from ..runtime.logger import CsvLogger
+from ..runtime.sentence import get_dict_mapping
 
 RECORD_FIELDS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L",
                  "CIDEr", "Sum", "ave_length", "novel", "unique", "usage"]
@@ -77,19 +75,6 @@ def prepare_collect_path(cfg: Config, opt) -> str:
     return os.path.join(opt.collect_path, "_".join(names + [parameter]))
 
 
-def get_dict_mapping(cfg: Config, teacher_cfg: Config, info_corpus, teacher_info):
-    """Student->teacher vocab id map (reference misc/utils.py:33-51)."""
-    if teacher_cfg is None or teacher_cfg.vocab_size == cfg.vocab_size:
-        return None
-    itow = info_corpus["info"]["itow"]
-    t_itow = teacher_info["info"]["itow"]
-    if itow == t_itow:
-        return None
-    t_wtoi = {w: i for i, w in t_itow.items()}
-    arr = np.arange(cfg.vocab_size)
-    for i, w in itow.items():
-        arr[int(i)] = int(t_wtoi.get(w, C.UNK))
-    return arr
 
 
 def main(argv=None):
@@ -118,12 +103,16 @@ def main(argv=None):
 
     # eval-time option re-derivation (reference translate.py:127-144)
     if not opt.default:
+        # batch_size included: the reference's option.update(vars(opt))
+        # (translate.py:131-133) propagates it, and run_eval's latency
+        # protocol keys off cfg.batch_size == 1
         cfg = cfg.replace(
             beam_size=opt.beam_size, beam_alpha=opt.beam_alpha, topk=opt.topk,
             iterations=opt.iterations, length_beam_size=opt.length_beam_size,
             q=opt.q, q_iterations=opt.q_iterations, paradigm=opt.paradigm,
             use_ct=opt.use_ct, masking_decision=opt.masking_decision,
-            no_candidate_decision=opt.no_candidate_decision)
+            no_candidate_decision=opt.no_candidate_decision,
+            batch_size=opt.batch_size)
     else:
         if cfg.decoding_type != "NARFormer":
             cfg = cfg.replace(topk=opt.topk, beam_size=5, beam_alpha=1.0)

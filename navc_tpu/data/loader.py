@@ -88,8 +88,13 @@ class BatchLoader:
         if self.num_shards > 1:
             per_shard = (n + self.num_shards - 1) // self.num_shards
             total = per_shard * self.num_shards
-            if total > n:  # wrap-pad so all shards are equal length
-                order = np.concatenate([order, order[: total - n]])
+            if total > n:
+                # wrap-pad so all shards are equal length; np.resize tiles
+                # the permutation as many times as needed (total - n can
+                # exceed n when there are fewer items than shards — a
+                # single-slice concat would leave shards unequal and hang
+                # the SPMD cluster at the first collective of the odd step)
+                order = np.resize(order, total)
             order = order[self.shard_id::self.num_shards]
         return order
 
@@ -109,23 +114,46 @@ class BatchLoader:
         sentinel = object()
         error: List[BaseException] = []
 
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # blocking put that aborts when the consumer abandoned the
+            # epoch (break / exception in the train step) — a plain
+            # q.put() would pin this thread in a full queue forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in self._iter_batches():
-                    q.put(b)
+                    if not _put(b):
+                        return
             except BaseException as e:  # surfaced in the consumer
                 error.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is sentinel:
-                break
-            yield b
-        t.join()
+        try:
+            while True:
+                b = q.get()
+                if b is sentinel:
+                    break
+                yield b
+        finally:
+            stop.set()
+            try:  # unblock a producer waiting on a full queue, then reap it
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
         if error:
             raise error[0]
 

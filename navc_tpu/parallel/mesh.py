@@ -36,7 +36,15 @@ def make_mesh(shape: Optional[Dict[str, int]] = None,
     sizes = [shape.get("data", 1), shape.get("model", 1)]
     assert sizes[0] * sizes[1] == n, \
         "mesh %s does not cover %d devices" % (shape, n)
-    arr = np.array(devices).reshape(sizes)
+    try:
+        # torus-aware placement: keeps each 'model' group on physically
+        # adjacent chips (same host where possible) so TP collectives ride
+        # ICI, and builds 'data' rings along torus axes — a naive reshape
+        # of the flat device list can split a TP group across hosts/DCN
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_device_mesh(tuple(sizes), devices=devices)
+    except Exception:
+        arr = np.array(devices).reshape(sizes)
     return Mesh(arr, ("data", "model"))
 
 
@@ -82,9 +90,14 @@ TP_RULES = [
     (re.compile(r"tgt_word_prj.*kernel$"), P(None, "model")),
     # word embedding table: (V, H) -> shard vocab rows
     (re.compile(r"word_embeddings.*embedding$"), P("model", None)),
-    # FFN expand (H, 4H) / reduce (4H, H): Megatron-style col/row split
+    # FFN expand (H, 4H) / reduce (4H, H): Megatron-style col/row split.
+    # The reduce rule is anchored to the layer-level FFN block — every
+    # attention module also contains an 'output/dense' (its (H, H)
+    # out-projection, layers.py BertSelfOutput) whose input is replicated,
+    # so row-sharding it would force an extra reshard+all-reduce per
+    # attention per layer for no FLOP win.
     (re.compile(r"intermediate/dense/kernel$"), P(None, "model")),
-    (re.compile(r"output/dense/kernel$"), P("model", None)),
+    (re.compile(r"layer_\d+/output/dense/kernel$"), P("model", None)),
     (re.compile(r"intermediate/dense/bias$"), P("model")),
 ]
 

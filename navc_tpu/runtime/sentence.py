@@ -12,6 +12,28 @@ from typing import Dict, List, Sequence, Tuple
 from .. import constants as C
 
 
+def get_dict_mapping(cfg, teacher_cfg, info_corpus, teacher_info):
+    """Student->teacher vocab id map (reference misc/utils.py:33-51).
+
+    Returns None when the vocabularies already agree; otherwise an
+    (vocab_size,) int array mapping each student id to the teacher id of
+    the same word (UNK when absent). Shared by cli/translate.py and
+    api.CaptionPipeline."""
+    import numpy as np
+
+    if teacher_cfg is None or teacher_cfg.vocab_size == cfg.vocab_size:
+        return None
+    itow = info_corpus["info"]["itow"]
+    t_itow = teacher_info["info"]["itow"]
+    if itow == t_itow:
+        return None
+    t_wtoi = {w: i for i, w in t_itow.items()}
+    arr = np.arange(cfg.vocab_size)
+    for i, w in itow.items():
+        arr[int(i)] = int(t_wtoi.get(w, C.UNK))
+    return arr
+
+
 def to_sentence(hyp: Sequence[int], vocab: Dict[int, str],
                 break_words=(C.EOS, C.PAD), skip_words=()) -> str:
     sent = []

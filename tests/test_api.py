@@ -21,6 +21,11 @@ def test_pipeline_from_checkpoint(tmp_path):
         iterations=2, base_checkpoint_path=str(tmp_path),
     )
     cfg = default_config("NAB", dataset="MSVD", **over)
+    # missing teacher paths are fatal (reference opts.py:208); this test
+    # trains a teacher-free NAB (replace AFTER the --default preset layer,
+    # which resolves a teacher path)
+    cfg = cfg.replace(teacher_path="", load_teacher_weights=False,
+                      with_teacher=False)
     corpus, refs = make_synthetic_corpus(cfg, n_videos=8, n_caps=2, vocab_size=40)
     feats = make_synthetic_feats(cfg, n_videos=8, n_total_frames=10)
     workdir = os.path.join(str(tmp_path), "run")

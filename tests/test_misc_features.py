@@ -408,3 +408,40 @@ def test_kbest_state_roundtrip(tmp_path):
     fresh = dict(worse)
     q3.check(fresh, str(tmp_path), tolerence=3, save_fn=saves.append)
     assert fresh["Sum"] == 1.0 and len(saves) == 2
+
+
+def test_loader_shards_equal_with_tiny_dataset(corpus_and_feats):
+    """Fewer items than shards: every shard must still get the same number
+    of batches (np.resize wrap), or the SPMD cluster hangs at the first
+    collective of the odd step."""
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg()
+    ds = VideoDataset(cfg, "validate", info_corpus=corpus, in_memory_feats=feats)
+    n = len(ds)
+    num_shards = n + 5  # more shards than items
+    counts = []
+    for shard in range(num_shards):
+        loader = BatchLoader(ds, batch_size=2, num_shards=num_shards,
+                             shard_id=shard)
+        counts.append(sum(1 for _ in loader))
+    assert len(set(counts)) == 1 and counts[0] >= 1, counts
+
+
+def test_loader_prefetch_early_break_reaps_producer(corpus_and_feats):
+    """Abandoning a prefetching epoch (break) must not leave the producer
+    thread blocked on a full queue forever."""
+    import threading
+    import time
+
+    corpus, refs, feats = corpus_and_feats
+    cfg = small_cfg()
+    ds = VideoDataset(cfg, "train", info_corpus=corpus, in_memory_feats=feats)
+    baseline = threading.active_count()
+    for _ in range(3):
+        loader = BatchLoader(ds, batch_size=2, prefetch=1)
+        for batch in loader:
+            break  # abandon immediately with the queue full
+    deadline = time.time() + 10
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= baseline, "producer thread leaked"
