@@ -96,6 +96,7 @@ class Config:
     enhance_input: int = 2  # 0: none | 1: resampling | 2: mean-pooling
     with_layernorm: bool = False
     use_sigmoid_to_get_attprob: bool = False  # hidden knob, reference bert.py:136
+    parallel_mlm: bool = False  # hidden knob, reference bert.py:253-254 + dataloader.py:48
     with_category: bool = False
     num_category: int = 20
     encoder_dropout: float = 0.5

@@ -136,7 +136,8 @@ class VideoDataset:
         self.mode = mode
         if mode != "train":
             self.random_type = "equally_sampling"
-            self.n_caps_per_video = 1
+            # parallel_mlm evaluates every caption (reference dataloader.py:48)
+            self.n_caps_per_video = 0 if getattr(cfg, "parallel_mlm", False) else 1
         else:
             self.random_type = cfg.random_type
             self.n_caps_per_video = cfg.n_caps_per_video

@@ -79,9 +79,28 @@ now once
 """.split())
 
 
-def _porter(w: str) -> str:
-    from .meteor import _stem
-    return _stem(w)
+_SNOWBALL = None
+_STEM_CACHE: Dict[str, str] = {}
+
+
+def _stem_word(w: str) -> str:
+    """Snowball (Porter2) English stem — the stemmer the meteor-1.5 jar
+    uses (org.tartarus.snowball.ext.englishStemmer); falls back to the
+    vendored classic Porter when nltk is unavailable."""
+    global _SNOWBALL
+    s = _STEM_CACHE.get(w)
+    if s is not None:
+        return s
+    if _SNOWBALL is None:
+        try:
+            from nltk.stem.snowball import SnowballStemmer
+            _SNOWBALL = SnowballStemmer("english").stem
+        except Exception:
+            from .meteor import _stem
+            _SNOWBALL = _stem
+    s = _SNOWBALL(w)
+    _STEM_CACHE[w] = s
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -194,21 +213,24 @@ class Meteor15:
 
     # -- stages -------------------------------------------------------------
     def _match_weight(self, h: str, hs: str, r: str, rs: str) -> Optional[float]:
-        """Best stage weight matching hyp word h (stem hs) to ref word r."""
+        """Stage weight matching hyp word h (stem hs) to ref word r.
+
+        Meteor's matcher runs its modules in order (exact, stem, synonym,
+        paraphrase) and a pair matched by an earlier module is never
+        re-matched by a later one — the FIRST matching stage's weight
+        applies, not the maximum (e.g. a stem match that also shares a
+        synset scores 0.6, not 0.8)."""
         if h == r:
             return self.weights[0]
-        best = None
         if hs == rs:
-            best = self.weights[1]
+            return self.weights[1]
         if self.synonyms is not None:
             syn_h = self.synonyms.get(h) or set()
             if r in syn_h or (syn_h and syn_h & (self.synonyms.get(r) or set())):
-                w = self.weights[2]
-                best = w if best is None or w > best else best
+                return self.weights[2]
         if self.para_words and (h, r) in self.para_words:
-            w = self.weights[3]
-            best = w if best is None or w > best else best
-        return best
+            return self.weights[3]
+        return None
 
     def _phrase_candidates(self, hyp: List[str], ref: List[str]
                            ) -> Dict[int, List[Tuple[int, int, int, float]]]:
@@ -247,8 +269,8 @@ class Meteor15:
         to 1 for word matches). ``pairs`` entries are
         (h_start, h_len, r_start, r_len, stage_weight).
         """
-        hs = [_porter(w) for w in hyp]
-        rs = [_porter(w) for w in ref]
+        hs = [_stem_word(w) for w in hyp]
+        rs = [_stem_word(w) for w in ref]
         cand: List[List[Tuple[int, int, int, float]]] = []
         for i, h in enumerate(hyp):
             row = []
@@ -267,8 +289,11 @@ class Meteor15:
             nxt = {}
             for st in states:
                 used, prev, free, m, ch, wt, pairs = st
-                # contiguity only survives if the previous match ended at hi-1
-                key = (used, prev if prev and prev[0] == hi - 1 else None,
+                # contiguity only survives if the previous match ends at
+                # hi-1 OR LATER (an in-flight phrase span ending at >= hi
+                # still determines chunk contiguity at its end — merging
+                # those states would lose the ref-end and overcount chunks)
+                key = (used, prev if prev and prev[0] >= hi - 1 else None,
                        max(free, hi))
                 cur = nxt.get(key)
                 if cur is None or (m, -ch, wt) > (cur[3], -cur[4], cur[5]):
@@ -346,12 +371,18 @@ class Meteor15:
         return self._score_stats(stats) if stats else 0.0
 
     def best_ref_stats(self, hyp: str, refs: List[str]):
+        """Best-scoring reference's stats (ties -> first reference).
+
+        An empty hypothesis still returns stats (m=0 with the reference
+        side's denominators): the Meteor EVAL aggregation includes every
+        segment, so dropping such segments would inflate the corpus score.
+        """
         h = hyp.split()
         best, best_score = None, -1.0
         for ref in refs:
             r = ref.split()
-            if not h or not r:
-                continue
+            if not h and not r:
+                continue  # both sides empty: no stats either way
             s = self._segment_stats(h, r)
             sc = self._score_stats(s)
             if sc > best_score:

@@ -46,13 +46,15 @@ class COCOScorer:
         except Exception:
             native = None
 
+        # BLEU always comes from corpus_bleu: the per-image detail needs the
+        # python pass anyway, so summary and detail stay one implementation
+        # (native.bleu_corpus remains available + parity-tested as a
+        # standalone fast path for detail-free callers)
+        bleu_scores, bleu_per_img = corpus_bleu(res_tok, gts_tok)
         if native is not None:
-            bleu_scores = native.bleu_corpus(res_tok, gts_tok)
-            _, bleu_per_img = corpus_bleu(res_tok, gts_tok)  # per-image detail
             cider, cider_per = native.cider_corpus(res_tok, gts_tok)
             rouge, rouge_per = native.rouge_corpus(res_tok, gts_tok)
         else:
-            bleu_scores, bleu_per_img = corpus_bleu(res_tok, gts_tok)
             cider, cider_per = corpus_cider(res_tok, gts_tok)
             rouge, rouge_per = corpus_rouge_l(res_tok, gts_tok)
 

@@ -48,6 +48,7 @@ class BertDecoder(nn.Module):
     watch: int = 0
     decoding_type: str = "ARFormer"
     use_sigmoid_to_get_attprob: bool = False
+    parallel_mlm: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -75,6 +76,7 @@ class BertDecoder(nn.Module):
                 is_decoder_layer=True,
                 pos_attention=self.pos_attention,
                 use_sigmoid_to_get_attprob=self.use_sigmoid_to_get_attprob,
+                parallel_mlm=self.parallel_mlm,
                 dtype=self.dtype,
                 name="layer_%d" % i,
             )

@@ -365,6 +365,10 @@ class BertLayer(nn.Module):
     is_decoder_layer: bool = True
     pos_attention: bool = False
     use_sigmoid_to_get_attprob: bool = False
+    # hidden knob (reference bert.py:253-254): parallel-MLM training drops
+    # the self-attention residual so a SelfMask diagonal cannot be defeated
+    # by a position's own input embedding riding the skip connection
+    parallel_mlm: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -378,7 +382,8 @@ class BertLayer(nn.Module):
             use_sigmoid_to_get_attprob=self.use_sigmoid_to_get_attprob,
             dtype=self.dtype,
         )
-        self.attention = BertAttention(with_residual=True, name="attention", **kw)
+        self.attention = BertAttention(
+            with_residual=not self.parallel_mlm, name="attention", **kw)
         if self.pos_attention and self.is_decoder_layer:
             self.pos_attention_mod = BertAttention(with_residual=True, name="pos_attention", **kw)
         if self.is_decoder_layer:

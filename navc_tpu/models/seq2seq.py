@@ -80,6 +80,7 @@ class Seq2Seq(nn.Module):
             watch=cfg.watch,
             decoding_type=cfg.decoding_type,
             use_sigmoid_to_get_attprob=cfg.use_sigmoid_to_get_attprob,
+            parallel_mlm=cfg.parallel_mlm,
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
             name="decoder",
         )
@@ -129,7 +130,15 @@ class Seq2Seq(nn.Module):
             out = self.tgt_word_prj(hidden)
             return out if raw else out.astype(jnp.float32)
         table = self.decoder.embedding.word_embeddings.embedding
-        out = hidden @ table.T + self.tie_bias
+        if self.cfg.compute_dtype == "bfloat16":
+            # match the untied nn.Dense(dtype=bf16) promotion — the (H, V)
+            # projection is the largest matmul in the step, and an f32
+            # table product would silently forfeit the configured bf16
+            # MXU/HBM savings (bias add in bf16 mirrors flax Dense)
+            out = (hidden.astype(jnp.bfloat16) @ table.T.astype(jnp.bfloat16)
+                   + self.tie_bias.astype(jnp.bfloat16))
+        else:
+            out = hidden @ table.T + self.tie_bias
         return out if raw else out.astype(jnp.float32)
 
     def ar_embed(self, tgt_seq, category=None, deterministic: bool = True):

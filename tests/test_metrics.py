@@ -243,7 +243,7 @@ def test_meteor15_against_nltk_external_oracle():
     correct aligner produces the identical match set and chunk count."""
     import pytest as _pytest
     try:
-        from nltk.stem.porter import PorterStemmer
+        from nltk.stem.snowball import SnowballStemmer
         from nltk.translate.meteor_score import single_meteor_score
     except Exception:
         _pytest.skip("nltk unavailable")
@@ -253,11 +253,13 @@ def test_meteor15_against_nltk_external_oracle():
         def synsets(word):
             return []
 
-    from navc_tpu.metrics.meteor15 import _porter
     nav = Meteor15(synonyms=None, paraphrases=None, function_words=set(),
                    alpha=0.9, beta=3.0, gamma=0.5, delta=0.5,
                    weights=(1.0, 1.0, 1.0, 1.0), identity_rule=False)
-    stem = PorterStemmer()
+    # both sides use the Snowball English stemmer (the one the meteor-1.5
+    # jar embeds); nltk's meteor_score remains an independent oracle for
+    # the ALIGNMENT and SCORING model (match set, chunks, fmean, penalty)
+    stem = SnowballStemmer("english")
     cases = [
         ("the cat sat on a mat", "a cat was sitting on the mat"),
         ("a quick brown fox jumped over lazy dogs",
@@ -267,9 +269,6 @@ def test_meteor15_against_nltk_external_oracle():
         ("completely different words here", "nothing matches at all"),
     ]
     for hyp, ref in cases:
-        # precondition: both Porter implementations agree on these tokens
-        for w in (hyp + " " + ref).split():
-            assert _porter(w) == stem.stem(w), w
         want = single_meteor_score(ref.split(), hyp.split(),
                                    stemmer=stem, wordnet=_NoWordnet)
         got = nav.sentence(hyp, [ref])

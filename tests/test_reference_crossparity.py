@@ -132,6 +132,7 @@ def my_cfg(opt) -> Config:
         length_bias=opt["length_bias"],
         masking_decision=opt["masking_decision"],
         no_candidate_decision=opt["no_candidate_decision"],
+        parallel_mlm=opt.get("parallel_mlm", False),
         compute_dtype="float32", use_pallas=False,
     )
     return cfg
@@ -446,3 +447,38 @@ def test_convert_cli_roundtrip(tmp_path):
         hyp = batch_hyp[i][0]
         assert list(seqs[i][:len(hyp)]) == hyp
         assert (seqs[i][len(hyp):] == C.PAD).all()
+
+
+def test_parallel_mlm_residual_knob_parity():
+    """Hidden knob (reference bert.py:253-254): parallel_mlm drops the
+    self-attention residual. Forward log-probs must track the reference
+    with it on, and differ from the knob-off forward."""
+    opt, tmodel, cfg, jmodel, variables = build_pair("NAB", parallel_mlm=True)
+    assert cfg.parallel_mlm
+    b = 3
+    feats, category = make_inputs(opt, b=b)
+    rng = np.random.RandomState(11)
+    tokens = rng.randint(6, opt["vocab_size"], size=(b, opt["max_len"]))
+    tokens[:, -2:] = C.PAD
+    tokens = tokens.astype(np.int64)
+
+    with torch.no_grad():
+        tres = tmodel(feats=[torch.from_numpy(f) for f in feats],
+                      tgt_tokens=torch.from_numpy(tokens),
+                      category=torch.from_numpy(category))
+    jres = jmodel.apply(variables, [jnp.asarray(f) for f in feats],
+                        jnp.asarray(tokens, jnp.int32),
+                        jnp.asarray(category, jnp.int32), deterministic=True)
+    np.testing.assert_allclose(np.asarray(jres["tgt_word_logprobs"][0]),
+                               tres["tgt_word_logprobs"][0].numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+    # knob off (same weights): the residual changes the output
+    cfg_off = cfg.replace(parallel_mlm=False)
+    jmodel_off = build_model(cfg_off)
+    jres_off = jmodel_off.apply(variables, [jnp.asarray(f) for f in feats],
+                                jnp.asarray(tokens, jnp.int32),
+                                jnp.asarray(category, jnp.int32),
+                                deterministic=True)
+    assert not np.allclose(np.asarray(jres["tgt_word_logprobs"][0]),
+                           np.asarray(jres_off["tgt_word_logprobs"][0]))
