@@ -20,12 +20,31 @@ _tried = False
 
 
 def _build() -> bool:
+    """Serialized across processes: the test suite and multi-host runs spawn
+    real multi-process clusters, and two concurrent `make` invocations write
+    the same .so non-atomically (one process could dlopen a half-linked
+    file and silently fall back to the Python scorers)."""
     try:
-        subprocess.run(["make", "-C", _HERE], check=True,
-                       capture_output=True, timeout=120)
+        import fcntl
+        os.makedirs(os.path.join(_HERE, "build"), exist_ok=True)
+        with open(os.path.join(_HERE, "build", ".lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if not os.path.exists(_SO):
+                    subprocess.run(["make", "-C", _HERE], check=True,
+                                   capture_output=True, timeout=120)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
         return os.path.exists(_SO)
     except Exception:
         return False
+
+
+def _all_ascii(*corpora: Dict[str, List[str]]) -> bool:
+    return all(s.isascii()
+               for corpus in corpora
+               for caps in corpus.values()
+               for s in caps)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -72,6 +91,13 @@ def _take_string(lib, ptr) -> str:
 
 
 def tokenize(text: str) -> List[str]:
+    # the C++ pipeline is byte-wise (ASCII tolower / isalnum): non-ASCII
+    # text would tokenize differently from the Python oracle (e.g. 'CAFÉ'
+    # keeps an uppercase É, UTF-8 bytes break the \\b contraction guards) —
+    # route those strings to the Python implementation
+    if not text.isascii():
+        from ..metrics.tokenizer import ptb_tokenize
+        return ptb_tokenize(text)
     lib = get_lib()
     assert lib is not None
     ptr = lib.navc_tokenize(text.encode("utf-8"))
@@ -95,6 +121,9 @@ def _pack_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]):
 
 def bleu_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
                 ) -> List[float]:
+    if not _all_ascii(hyps, refs):  # ASCII-only C++ path; see tokenize()
+        from ..metrics.bleu import corpus_bleu
+        return list(corpus_bleu(hyps, refs)[0])
     lib = get_lib()
     assert lib is not None
     vids, hyp_arr, ref_arr, off_arr = _pack_corpus(hyps, refs)
@@ -104,6 +133,9 @@ def bleu_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
 
 def cider_corpus(hyps: Dict[str, List[str]], refs: Dict[str, List[str]]
                  ) -> Tuple[float, List[float]]:
+    if not _all_ascii(hyps, refs):
+        from ..metrics.cider import corpus_cider
+        return corpus_cider(hyps, refs)
     lib = get_lib()
     assert lib is not None
     vids, hyp_arr, ref_arr, off_arr = _pack_corpus(hyps, refs)
@@ -122,10 +154,16 @@ def _mean_per_image(fn_name: str, hyps, refs) -> Tuple[float, List[float]]:
 
 
 def rouge_corpus(hyps, refs) -> Tuple[float, List[float]]:
+    if not _all_ascii(hyps, refs):
+        from ..metrics.rouge import corpus_rouge_l
+        return corpus_rouge_l(hyps, refs)
     return _mean_per_image("navc_rouge_corpus", hyps, refs)
 
 
 def meteor_corpus(hyps, refs) -> Tuple[float, List[float]]:
+    if not _all_ascii(hyps, refs):
+        from ..metrics.meteor import corpus_meteor
+        return corpus_meteor(hyps, refs)
     return _mean_per_image("navc_meteor_corpus", hyps, refs)
 
 

@@ -36,7 +36,13 @@ const std::unordered_set<std::string>& punctuations() {
   return kPunct;
 }
 
-bool is_space(char c) { return c == ' ' || c == '\t' || c == '\n' || c == '\r'; }
+// Python str.split() whitespace, ASCII subset (non-ASCII inputs are routed
+// to the Python scorers by lib.py): space, \t-\r, and the \x1c-\x1f
+// separators str.isspace() accepts. Including \x1c-\x1f also guarantees no
+// token can contain the \x1f n-gram key separator.
+bool is_space(char c) {
+  return c == ' ' || (c >= '\t' && c <= '\r') || (c >= '\x1c' && c <= '\x1f');
+}
 
 bool word_char(char c) {
   return isalnum(static_cast<unsigned char>(c)) != 0 || c == '_';
@@ -299,12 +305,15 @@ std::vector<std::string> split_ws(const std::string& s) {
   return t;
 }
 
-// joined-token n-gram key; k encoded by number of '\x1f' separators
+// joined-token n-gram key; the order k is encoded EXPLICITLY in the first
+// byte ('1'..'4') rather than derived from separator counts — tokens can
+// never contain '\x1f' after split_ws, but a wrong order must never be
+// able to index past the per-order accumulators (it segfaulted before)
 Counts ngram_counts(const std::vector<std::string>& toks, int n) {
   Counts c;
   for (int k = 1; k <= n; ++k) {
     for (int i = 0; i + k <= static_cast<int>(toks.size()); ++i) {
-      std::string key;
+      std::string key(1, static_cast<char>('0' + k));
       for (int j = 0; j < k; ++j) {
         if (j) key += '\x1f';
         key += toks[i + j];
@@ -316,7 +325,7 @@ Counts ngram_counts(const std::vector<std::string>& toks, int n) {
 }
 
 int ngram_order(const std::string& key) {
-  return 1 + static_cast<int>(std::count(key.begin(), key.end(), '\x1f'));
+  return key.empty() ? 1 : key[0] - '0';
 }
 
 char* dup_string(const std::string& s) {

@@ -38,8 +38,13 @@ def save_checkpoint(state: Dict[str, Any], filepath: str,
             payload[key] = _to_numpy(payload[key])
     if "settings" in payload and isinstance(payload["settings"], Config):
         payload["settings"] = payload["settings"].to_dict()
-    with open(path, "wb") as f:
+    # atomic replace: the rolling resume checkpoint is overwritten in place
+    # every eval epoch, and a crash mid-dump must not destroy the only
+    # resume state (truncated pickle -> unresumable run)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+    os.replace(tmp, path)
     return path
 
 
@@ -55,8 +60,6 @@ def load_model_and_config(path: str) -> Tuple[Any, Dict[str, Any], Config, Dict[
     function re-transfer host->device on EVERY call (measured 4.4x decode
     slowdown over the remote transport; pure waste on any hardware).
     """
-    import jax
-
     ckpt = load_checkpoint(path)
     cfg = Config.from_dict(ckpt["settings"])
     model = build_model(cfg)
@@ -93,12 +96,25 @@ def save_checkpoint_orbax(state: Dict[str, Any], directory: str) -> str:
     return path
 
 
-def load_checkpoint_orbax(directory: str) -> Dict[str, Any]:
+def load_checkpoint_orbax(directory: str,
+                          templates: Optional[Dict[str, Any]] = None
+                          ) -> Dict[str, Any]:
+    """``templates`` maps array-group keys (e.g. 'opt_state') to pytrees of
+    the expected structure: orbax restores untyped containers (optax
+    NamedTuple states come back as plain dicts and cannot feed tx.update),
+    so pass e.g. ``{'opt_state': tx.init(params)}`` to get typed nodes back.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(directory)
     with ocp.PyTreeCheckpointer() as ckptr:
         arrays = ckptr.restore(os.path.join(path, "arrays"))
+    if templates:
+        for key, template in templates.items():
+            if key in arrays:
+                treedef = jax.tree_util.tree_structure(template)
+                arrays[key] = jax.tree_util.tree_unflatten(
+                    treedef, jax.tree_util.tree_leaves(arrays[key]))
     with open(os.path.join(path, "meta.pkl"), "rb") as f:
         payload = pickle.load(f)
     payload.update(arrays)

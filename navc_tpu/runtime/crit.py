@@ -180,6 +180,11 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
             metrics["ppl_sum"] = -(gathered * mask).sum()
             metrics["ppl_count"] = mask.sum()
 
+    # the reference Criterion asserts equal lengths (crit.py:137-139); a
+    # silent zip truncation would train with a different loss weighting
+    # than configured
+    assert len(cfg.crit) == len(cfg.crit_scale), \
+        "crit %s and crit_scale %s must align" % (cfg.crit, cfg.crit_scale)
     scales = {name.lower(): s for name, s in zip(cfg.crit, cfg.crit_scale)}
     metrics["lang_loss"] = lang_loss
     total = total + scales.get("lang", 1.0) * lang_loss

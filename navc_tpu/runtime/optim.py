@@ -28,8 +28,10 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     if cfg.optim.lower() == "adam":
         scaler = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
     elif cfg.optim.lower() == "rmsprop":
-        # torch RMSprop defaults: alpha=0.99, eps=1e-8
-        scaler = optax.scale_by_rms(decay=0.99, eps=1e-8)
+        # torch RMSprop defaults: alpha=0.99, eps=1e-8 with eps OUTSIDE the
+        # sqrt (g / (sqrt(nu) + eps)); optax's default eps_in_sqrt=True is
+        # the other convention and diverges once nu decays to ~eps scale
+        scaler = optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False)
     else:
         raise ValueError("optim must be adam or rmsprop, got %r" % cfg.optim)
 

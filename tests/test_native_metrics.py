@@ -79,3 +79,32 @@ def test_native_meteor_matches_python():
     c_score, c_per = native.meteor_corpus(RES, GTS)
     assert abs(c_score - py_score) < 1e-10
     np.testing.assert_allclose(c_per, py_per, rtol=1e-10)
+
+
+def test_native_control_bytes_and_nonascii_safe():
+    """Tokens containing \\x1f must not corrupt n-gram order bookkeeping
+    (it segfaulted via out-of-bounds writes before), and non-ASCII corpora
+    must route to the Python scorers so scores never depend on whether the
+    native library happens to be built."""
+    from navc_tpu.metrics.bleu import corpus_bleu
+    from navc_tpu.metrics.rouge import corpus_rouge_l
+    from navc_tpu.native import lib as native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    # \x1f is str.split() whitespace in python AND a separator in C++ now
+    hyps = {"v0": ["a\x1fdog runs a\x1fdog runs a\x1fdog runs"]}
+    refs = {"v0": ["a dog runs fast", "the dog is running"]}
+    want, _ = corpus_bleu(hyps, refs)
+    got = native.bleu_corpus(hyps, refs)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(want, got))
+
+    # non-ASCII: native wrappers fall back to the python implementations
+    hyps2 = {"v0": ["a café near the beach"], "v1": ["a dog runs"]}
+    refs2 = {"v0": ["the café by the sea"], "v1": ["a dog runs"]}
+    want_r = corpus_rouge_l(hyps2, refs2)
+    got_r = native.rouge_corpus(hyps2, refs2)
+    assert abs(want_r[0] - got_r[0]) < 1e-9
+    assert native.tokenize("A CAFÉ near the beach")[1] == "café"

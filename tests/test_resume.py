@@ -73,3 +73,39 @@ def test_orbax_backend_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(variables["params"])
     b = jax.tree_util.tree_leaves(loaded["params"])
     assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_orbax_opt_state_template_restore(tmp_path):
+    """Orbax restores untyped containers; the templates arg must bring optax
+    NamedTuple states back in a form tx.update accepts."""
+    import pytest as pytest_orbax
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except Exception:
+        pytest_orbax.skip("orbax unavailable")
+    import jax
+    import jax.numpy as jnp
+    from navc_tpu.models import build_model, init_params
+    from navc_tpu.runtime.checkpoint import (load_checkpoint_orbax,
+                                             save_checkpoint_orbax)
+    from navc_tpu.runtime.optim import make_optimizer
+
+    cfg = default_config(
+        "ARB", dataset="MSVD", vocab_size=40, dim_hidden=16,
+        num_attention_heads=2, intermediate_size=32, n_frames=4,
+        dim_i=12, dim_m=10, modality="mi", max_len=8,
+        compute_dtype="float32")
+    model = build_model(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(variables["params"])
+
+    d = str(tmp_path / "orbax_opt")
+    save_checkpoint_orbax({"epoch": 1, "params": variables["params"],
+                           "opt_state": opt_state, "settings": cfg}, d)
+    loaded = load_checkpoint_orbax(
+        d, templates={"opt_state": tx.init(variables["params"])})
+    grads = jax.tree_util.tree_map(jnp.ones_like, variables["params"])
+    updates, _ = tx.update(grads, loaded["opt_state"], variables["params"])
+    assert jax.tree_util.tree_structure(updates) == \
+        jax.tree_util.tree_structure(variables["params"])
