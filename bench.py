@@ -241,12 +241,18 @@ def _maybe_stop_trace(trace_dir, result: dict):
     result["trace_dir"] = trace_dir
 
 
-def measure_arb(batch_size: int = 1024, profile: bool = False):
+def measure_arb(batch_size: int = 1024, profile: bool = False,
+                save_tokens: str = None):
     """ARB beam-5 decode throughput with FLOP/MFU accounting (VERDICT r2 #5).
 
     Protocol mirrors the reference latency protocol (translate.py:149-151):
     encode outside the timed region, time the translate call.
     Writes BENCH_LIVE_ARB.json.
+
+    ``save_tokens`` dumps the decoded token matrix to an .npz so two runs can
+    be diffed — e.g. an NAVC_ATTEND_PREC=highest vs =default A/B (the fused
+    beam-attend kernel's matmul-precision knob, ops/beam_attend.py; the env
+    var is read at import time, so the A/B needs two subprocesses).
     """
     import jax
     import jax.numpy as jnp
@@ -295,9 +301,18 @@ def measure_arb(batch_size: int = 1024, profile: bool = False):
         "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         **_mfu_fields(cps, fl),
     }
+    prec = os.environ.get("NAVC_ATTEND_PREC")
+    if prec:
+        result["attend_prec"] = prec
+    if save_tokens:
+        np.savez(save_tokens, tokens=np.asarray(hyp))
+        result["tokens_out"] = save_tokens
     _maybe_stop_trace(trace_dir, result)
-    with open(os.path.join(HERE, "BENCH_LIVE_ARB.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    if not (save_tokens or (prec and prec != "highest")):
+        # probe runs (token dumps / non-default precision A/Bs) must not
+        # overwrite the canonical, parity-checked live artifact
+        with open(os.path.join(HERE, "BENCH_LIVE_ARB.json"), "w") as f:
+            json.dump(result, f, indent=2)
     print(json.dumps(result))
     return result
 
@@ -600,6 +615,8 @@ if __name__ == "__main__":
                     help="trained NACF checkpoint (flagship_e2e.py output)")
     ap.add_argument("--tckpt", default=None,
                     help="trained ARB teacher checkpoint")
+    ap.add_argument("--save-tokens", default=None, metavar="NPZ",
+                    help="(arb) dump decoded tokens for a precision A/B diff")
     ap.add_argument("--workload", choices=["nacf", "arb", "train", "all"],
                     default="nacf",
                     help="nacf: primary decode bench (default; attaches the "
@@ -610,7 +627,7 @@ if __name__ == "__main__":
         report_fallback(batch_size=args.batch)
     elif args.workload == "arb":
         measure_arb(batch_size=args.batch if args.batch != 8192 else 1024,
-                    profile=args.profile)
+                    profile=args.profile, save_tokens=args.save_tokens)
     elif args.workload == "train":
         measure_train(batch_size=args.batch if args.batch != 8192 else 2048,
                       profile=args.profile)
