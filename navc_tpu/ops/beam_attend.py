@@ -336,6 +336,15 @@ def beam_attend_step(kc: jnp.ndarray, vc: jnp.ndarray,
             jax.ShapeDtypeStruct((n, m), vc.dtype),
             jax.ShapeDtypeStruct((n, h), jnp.float32),
         ],
+        # update the caches IN PLACE (operand indices count the scalar
+        # prefetch): the while-loop carry and the kernel share one HBM
+        # buffer, so XLA can neither double-buffer the 2x(N, l*h) caches
+        # nor pick a carry layout that disagrees with the custom call's
+        # row-major operands (the failure mode that cost ~2 ms/step of
+        # transpose copies around the standalone permute kernel). Tiles
+        # beyond the prefix now keep their previous contents rather than
+        # being unspecified — still opaque to callers by contract.
+        input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
     )(tpos_arr, local, q, kt, vt, amask_p, kc, vc)
     return kco, vco, att
