@@ -384,6 +384,55 @@ def test_beam_attend_step_interpret(dtype, tpos):
     np.testing.assert_allclose(np.asarray(att), ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_beam_attend_step_chained_carry(dtype):
+    """Multi-step decode with the caches as opaque in-place carries.
+
+    The kernel aliases its cache inputs to its outputs (in-place HBM
+    update); this chains 6 steps feeding each step's cache outputs into the
+    next — exactly the while-loop carry pattern of decoding/beam.py — and
+    checks the attention output of EVERY step against an explicitly
+    materialized permute/append/attend oracle."""
+    import math
+
+    from navc_tpu.ops.beam_attend import beam_attend_eligible, beam_attend_step
+
+    b, k, l, nh, dh = 16, 5, 8, 4, 32
+    h = nh * dh
+    n = b * k
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    assert beam_attend_eligible(b, k, l, h, dt.dtype.itemsize)
+    rng = np.random.RandomState(11)
+    kc = jnp.zeros((n, l * h), dt)
+    vc = jnp.zeros((n, l * h), dt)
+    kc_o = np.zeros((n, l, h), np.float32)
+    vc_o = np.zeros((n, l, h), np.float32)
+    for t in range(l - 2):
+        q = jnp.asarray(rng.randn(n, h).astype(np.float32))
+        kt = jnp.asarray(rng.randn(n, h).astype(np.float32))
+        vt = jnp.asarray(rng.randn(n, h).astype(np.float32))
+        pk = (jnp.asarray(rng.randint(0, k, (b, k)), jnp.int32) if t
+              else jnp.zeros((b, k), jnp.int32))
+        amask = jnp.broadcast_to(
+            jnp.where(jnp.arange(l)[None, :] > t, -1e7, 0.0), (n, l)
+        ).astype(jnp.float32)
+        kc, vc, att = beam_attend_step(kc, vc, q, kt, vt, pk, amask, t,
+                                       k=k, nh=nh, l=l, interpret=True)
+        src = (np.arange(n) // k) * k + np.asarray(pk).reshape(n)
+        kc_o, vc_o = kc_o[src], vc_o[src]
+        kc_o[:, t] = np.asarray(kt.astype(dt), np.float32)
+        vc_o[:, t] = np.asarray(vt.astype(dt), np.float32)
+        qh = np.asarray(q).reshape(n, nh, dh)
+        sc = np.einsum("nhd,nlhd->nhl", qh,
+                       kc_o.reshape(n, l, nh, dh)) / math.sqrt(dh)
+        sc = sc + np.asarray(amask)[:, None, :]
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr = pr / pr.sum(-1, keepdims=True)
+        ref = np.einsum("nhl,nlhd->nhd", pr,
+                        vc_o.reshape(n, l, nh, dh)).reshape(n, h)
+        np.testing.assert_allclose(np.asarray(att), ref, rtol=2e-5, atol=2e-5)
+
+
 def test_cross_attend_interpret():
     """Fused beam cross-attention == per-row einsum attention."""
     from navc_tpu.ops.beam_attend import cross_attend, cross_attend_eligible
