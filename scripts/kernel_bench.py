@@ -1,0 +1,121 @@
+"""Vocab-projection bound decomposition on the live TPU.
+
+Decides whether an int8 serving path for `fused_project_argmax` is worth
+building: the kernel is VPU-epilogue + MXU bound (docs/DESIGN.md §6), and
+int8 only pays if the matmul — not the online-softmax epilogue — is the
+binding resource. Measures, at flagship shapes (N rows x d=512 x V=10048):
+
+  1. fused_project_argmax        (the production kernel)
+  2. raw bf16 jnp.dot            (matmul-only bound at the same shape)
+  3. raw int8 jnp.dot -> int32   (what the MXU could do at 2x rate)
+  4. XLA projection + log_softmax + argmax (the unfused comparison)
+
+Prints one JSON line per measurement. Uses bench.py's device watchdog —
+refuses to run if the tunnel probe fails (never hangs a dead tunnel).
+
+Run:  python scripts/kernel_bench.py [--rows 49152] [--iters 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, iters):
+    fn()  # compile + warm
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(out)  # one trailing sync; per-call syncs would count RTT
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=49152,
+                    help="token rows N (default: B=8192 * lbs=6)")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke test: interpret-mode kernel, tiny shapes")
+    args = ap.parse_args()
+
+    if args.interpret:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import bench
+    if not args.interpret and not bench._device_available():
+        print(json.dumps({"error": "accelerator unreachable"}))
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+
+    from navc_tpu.runtime.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    from navc_tpu.ops.vocab_fused import fused_project_argmax
+
+    n, d, v = args.rows, 512, 10048
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.randn(n, d).astype(np.float32) * 0.05)
+    w = jnp.asarray(rng.randn(d, v).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(v).astype(np.float32) * 0.01)
+    hb = h.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    h8 = jnp.asarray(
+        np.clip(np.round(np.asarray(h) * 256), -127, 127).astype(np.int8))
+    w8 = jnp.asarray(
+        np.clip(np.round(np.asarray(w) * 256), -127, 127).astype(np.int8))
+
+    flops = 2.0 * n * d * v
+    results = {}
+
+    f_fused = jax.jit(lambda x: fused_project_argmax(
+        x, w, bias=b, interpret=args.interpret))
+    dt = timeit(lambda: f_fused(h)[1], args.iters)
+    results["fused_project_argmax"] = {
+        "ms": round(dt * 1e3, 3), "tflops": round(flops / dt / 1e12, 1)}
+
+    f_bf16 = jax.jit(lambda x, y: jnp.dot(x, y,
+                                          preferred_element_type=jnp.float32))
+    dt = timeit(lambda: f_bf16(hb, wb), args.iters)
+    results["raw_dot_bf16"] = {
+        "ms": round(dt * 1e3, 3), "tflops": round(flops / dt / 1e12, 1)}
+
+    f_i8 = jax.jit(lambda x, y: jax.lax.dot(x, y,
+                                            preferred_element_type=jnp.int32))
+    try:
+        dt = timeit(lambda: f_i8(h8, w8), args.iters)
+        results["raw_dot_int8"] = {
+            "ms": round(dt * 1e3, 3), "tflops": round(flops / dt / 1e12, 1)}
+    except Exception as e:  # int8 dot unsupported on this backend/version
+        results["raw_dot_int8"] = {"error": str(e)[:200]}
+
+    def xla_path(x):
+        logits = jnp.dot(x.astype(jnp.bfloat16), wb,
+                         preferred_element_type=jnp.float32) + b
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        idx = jnp.argmax(lp, axis=-1)
+        return jnp.take_along_axis(lp, idx[:, None], axis=1)[:, 0], idx
+    f_xla = jax.jit(xla_path)
+    dt = timeit(lambda: f_xla(h)[1], args.iters)
+    results["xla_project_argmax"] = {
+        "ms": round(dt * 1e3, 3), "tflops": round(flops / dt / 1e12, 1)}
+
+    out = {"rows": n, "d": d, "v": v,
+           "device": jax.devices()[0].device_kind, **results}
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "KERNEL_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
