@@ -242,7 +242,7 @@ def _maybe_stop_trace(trace_dir, result: dict):
 
 
 def measure_arb(batch_size: int = 1024, profile: bool = False,
-                save_tokens: str = None):
+                save_tokens: str = None, quiet: bool = False):
     """ARB beam-5 decode throughput with FLOP/MFU accounting (VERDICT r2 #5).
 
     Protocol mirrors the reference latency protocol (translate.py:149-151):
@@ -311,13 +311,13 @@ def measure_arb(batch_size: int = 1024, profile: bool = False,
     if not (save_tokens or (prec and prec != "highest")):
         # probe runs (token dumps / non-default precision A/Bs) must not
         # overwrite the canonical, parity-checked live artifact
-        with open(os.path.join(HERE, "BENCH_LIVE_ARB.json"), "w") as f:
-            json.dump(result, f, indent=2)
-    print(json.dumps(result))
+        _write_json(os.path.join(HERE, "BENCH_LIVE_ARB.json"), result)
+    print(json.dumps(result), file=sys.stderr if quiet else sys.stdout)
     return result
 
 
-def measure_train(batch_size: int = 2048, profile: bool = False):
+def measure_train(batch_size: int = 2048, profile: bool = False,
+                  quiet: bool = False):
     """NACF train-step throughput with FLOP/MFU accounting (VERDICT r2 #5).
 
     Times the full jitted step (2-pass forward, losses, backward, clip,
@@ -402,10 +402,69 @@ def measure_train(batch_size: int = 2048, profile: bool = False):
         **_mfu_fields(cps, fl),
     }
     _maybe_stop_trace(trace_dir, result)
-    with open(os.path.join(HERE, "BENCH_LIVE_TRAIN.json"), "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result))
+    _write_json(os.path.join(HERE, "BENCH_LIVE_TRAIN.json"), result)
+    print(json.dumps(result), file=sys.stderr if quiet else sys.stdout)
     return result
+
+
+def _write_json(path: str, obj: dict):
+    """Write a JSON artifact with a trailing newline (advisor r3)."""
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2)
+        f.write("\n")
+
+
+def read_prev_round() -> dict:
+    """Previous-round committed bench values {workload: captions/sec} from the
+    newest BENCH_r*.json the driver recorded — the regression-tripwire
+    reference (VERDICT r3 #5)."""
+    import glob
+    import re
+
+    files = sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json")),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    for p in reversed(files):
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+            out = {}
+            if isinstance(parsed.get("value"), (int, float)):
+                out["nacf"] = float(parsed["value"])
+            for k in ("arb", "train"):
+                v = (parsed.get(k) or {}).get("value")
+                if isinstance(v, (int, float)):
+                    out[k] = float(v)
+            if out:
+                out["_source"] = os.path.basename(p)
+                return out
+        except Exception:
+            continue
+    return {}
+
+
+def check_regression(out: dict, tol: float = 0.05) -> dict:
+    """Flag any workload whose fresh value dropped >tol below the committed
+    previous-round value. Flags (never hides the artifact): the driver records
+    the printed line either way, and a missing line would be worse evidence
+    than a flagged one."""
+    prev = read_prev_round()
+    if not prev:
+        return out
+    regressions = {}
+    pairs = [("nacf", out.get("value"))]
+    for k in ("arb", "train"):
+        pairs.append((k, (out.get(k) or {}).get("value")))
+    for key, val in pairs:
+        ref = prev.get(key)
+        if ref and isinstance(val, (int, float)) and val < (1.0 - tol) * ref:
+            regressions[key] = {"value": round(val, 2), "prev": round(ref, 2),
+                                "drop_pct": round(100 * (1 - val / ref), 1)}
+    if regressions:
+        out["regression"] = {"vs": prev["_source"], **regressions}
+        print("bench REGRESSION vs %s: %s" % (prev["_source"],
+                                              json.dumps(regressions)),
+              file=sys.stderr)
+    return out
 
 
 def _attach_secondary(out: dict):
@@ -565,9 +624,9 @@ def main(batch_size: int = 8192, profile: bool = False,
     }
     if trace_dir:
         result["trace_dir"] = trace_dir
-    with open(LIVE_PATH, "w") as f:
-        json.dump(result, f, indent=2)
+    _write_json(LIVE_PATH, result)
     _attach_secondary(result)
+    check_regression(result)
     print(json.dumps(result))
     return result
 
@@ -618,10 +677,12 @@ if __name__ == "__main__":
     ap.add_argument("--save-tokens", default=None, metavar="NPZ",
                     help="(arb) dump decoded tokens for a precision A/B diff")
     ap.add_argument("--workload", choices=["nacf", "arb", "train", "all"],
-                    default="nacf",
-                    help="nacf: primary decode bench (default; attaches the "
-                         "freshest arb/train live entries); arb/train: "
-                         "measure that workload live; all: everything live")
+                    default="all",
+                    help="all (default): measure every workload live so the "
+                         "round's closing bench carries three FRESH "
+                         "timestamps (VERDICT r3 #5); nacf: primary decode "
+                         "bench only (attaches the freshest arb/train live "
+                         "entries, age-marked); arb/train: that workload")
     args = ap.parse_args()
     if not _device_available():
         report_fallback(batch_size=args.batch)
@@ -632,8 +693,11 @@ if __name__ == "__main__":
         measure_train(batch_size=args.batch if args.batch != 8192 else 2048,
                       profile=args.profile)
     elif args.workload == "all":
-        measure_arb()
-        measure_train()
+        # sub-benches write their LIVE artifacts and log to stderr; the final
+        # combined NACF line (which attaches them, fresh) is the ONE stdout
+        # JSON line the driver records
+        measure_arb(quiet=True)
+        measure_train(quiet=True)
         main(batch_size=args.batch, profile=args.profile,
              ckpt=args.ckpt, tckpt=args.tckpt)
     else:
