@@ -36,8 +36,10 @@ def test_enlarge_tiling_parity(seed):
         np.testing.assert_array_equal(mine, ref)
 
 
-def test_pos_tag_word_extraction_parity():
-    pytest.importorskip("nltk")
+def test_pos_tag_word_extraction_parity(nltk_pos_tagger):
+    """Real nltk perceptron tagging path on BOTH stacks (the vendored
+    fixture model stands in for the non-downloadable pretrained one —
+    conftest.py::nltk_pos_tagger, VERDICT r3 #9)."""
     sentences = [
         "a man is playing a guitar on stage",
         "the dog runs fast in the park",
@@ -49,11 +51,41 @@ def test_pos_tag_word_extraction_parity():
     for s in sentences:
         for w in s.split():
             vocab.setdefault(w, len(vocab))
+    any_demanded = False
     for s in sentences:
         ref_set, my_set = set(), set()
-        try:
-            ref_utils.get_words_with_specified_tags(vocab, s, ref_set)
-        except LookupError:
-            pytest.skip("nltk pos tagger data unavailable")
+        ref_utils.get_words_with_specified_tags(vocab, s, ref_set)
         get_words_with_specified_tags(vocab, s, my_set)
         assert my_set == ref_set, s
+        any_demanded = any_demanded or bool(my_set)
+    assert any_demanded  # the tagger found NOUN/VERB visual words
+
+
+def test_corpus_prep_real_tagger_parity(nltk_pos_tagger):
+    """Corpus prep's caption tagging (get_captions_and_pos_tags) through the
+    REAL nltk tagger on both stacks — no stub (the crossparity fuzz stubs
+    the tagger; this closes the remaining untested half,
+    reference utils_corpora.py:172-222)."""
+    # the reference module imports wget (annotation downloads) which this
+    # zero-egress env lacks; a bare stub suffices (no download runs here)
+    import types
+    sys.modules.setdefault("wget", types.ModuleType("wget"))
+    from misc import utils_corpora as ref_uc
+
+    from navc_tpu.data import corpus as my_c
+
+    raw = {
+        "video0": [["a", "man", "is", "playing", "a", "guitar"],
+                   ["the", "dog", "runs", "fast"]],
+        "video1": [["children", "are", "kicking", "a", "red", "ball"]],
+    }
+    vocab = sorted({w for caps in raw.values() for c in caps for w in c})
+    r_itow, r_caps, r_itop, r_tags = ref_uc.get_captions_and_pos_tags(raw, vocab)
+    m_itow, m_caps, m_itop, m_tags = my_c.get_captions_and_pos_tags(raw, vocab)
+    assert m_itow == r_itow
+    assert m_caps == r_caps
+    assert m_itop == r_itop
+    assert m_tags == r_tags
+    # the real tagger must produce at least NOUN and VERB classes
+    tag_words = set(m_itop.values())
+    assert "NOUN" in tag_words and "VERB" in tag_words
