@@ -163,6 +163,201 @@ def make_learnable_synthetic(cfg: Config, n_videos: int = 24, n_classes: int = 4
     return corpus, references, feats
 
 
+def make_hard_synthetic(cfg: Config, n_videos: int = 768, n_classes: int = 128,
+                        vocab_size: int = 10048, n_caps: int = 4,
+                        n_total_frames: int = 16, seed: int = 0,
+                        n_categories: int = 20,
+                        feat_noise: float = 0.35, video_offset: float = 0.25,
+                        distractor_p: float = 0.12, adj_pool: int = 2000,
+                        adv_pool: int = 500, adv_p: float = 0.25):
+    """A REGRESSION-SENSITIVE flagship fixture (VERDICT r3 #1): hard enough
+    that test scores land mid-range instead of saturating, and structured so
+    the method family's designed mechanisms have real signal:
+
+      * latent class = (subject, verb, object) concept triple; every concept
+        has 2-3 synonym surface forms and every caption realizes one of five
+        templates — so each video's references are PARAPHRASES of one
+        semantic event. Non-autoregressive conditional independence mixes
+        these modes (the NAB failure the paper targets); visual-word /
+        coarse-template passes (NACF) and AR-teacher rescoring
+        (reference decoding/algorithms.py:136-141, 175-204) counteract it.
+      * feature centers are COMPOSITIONAL (sum of slot embeddings), so
+        classes sharing two of three slots are genuinely confusable under
+        per-video offset + per-frame noise.
+      * Zipf-distributed adjectives/adverbs from large pools plus
+        distractor captions (one slot swapped) put unpredictable-but-
+        plausible tokens in the references, deflating the metric ceiling
+        the way real MSR-VTT references do.
+      * POS tags are exact by construction (DET/NOUN/VERB/ADP/ADJ/ADV), so
+        visual-word supervision (demand = NOUN/VERB) is clean.
+
+    Returns (info_corpus, references, feats) in the byte-compatible
+    reference schema (prepare_corpora.py:53-65).
+    """
+    rng = np.random.RandomState(seed)
+    T = C.NUM_SPECIAL_TOKENS
+
+    # ---- vocabulary layout (ids >= 6) ----------------------------------
+    itow: Dict[int, str] = {tok: w for tok, w in C.SPECIAL_TOKEN_WORDS.items()}
+    next_id = T
+
+    def _alloc(word: str) -> int:
+        nonlocal next_id
+        i = next_id
+        itow[i] = word
+        next_id += 1
+        return i
+
+    the_id, a_id = _alloc("the"), _alloc("a")
+    is_id = _alloc("is")
+    preps = [_alloc(w) for w in ("in", "on", "at")]
+
+    n_subj, n_verb, n_obj, n_place = 24, 20, 28, 10
+
+    def _concept_forms(prefix: str, n: int, min_forms=2, max_forms=3):
+        out = []
+        for c in range(n):
+            k = int(rng.randint(min_forms, max_forms + 1))
+            out.append([_alloc("%s%d%s" % (prefix, c, "abc"[j]))
+                        for j in range(k)])
+        return out
+
+    subj_forms = _concept_forms("subj", n_subj)
+    verb_forms = _concept_forms("verb", n_verb)
+    obj_forms = _concept_forms("obj", n_obj)
+    place_forms = _concept_forms("place", n_place, 1, 2)
+    adjs = [_alloc("adj%d" % i) for i in range(adj_pool)]
+    advs = [_alloc("adv%d" % i) for i in range(adv_pool)]
+    assert next_id <= vocab_size, "grammar does not fit the vocab"
+    filler_start = next_id
+    for i in range(filler_start, vocab_size):
+        itow[i] = "rare%d" % i  # rare-tail words, never used in captions
+
+    # exact POS tag per word id (tags are itop ids >= 6, like the corpus-prep
+    # output, utils_corpora.py:184-210)
+    itop = {C.PAD: C.PAD_WORD, C.UNK: C.UNK_WORD, C.BOS: C.BOS_WORD,
+            C.EOS: C.EOS_WORD, C.MASK: C.MASK_WORD, C.VIS: C.VIS_WORD,
+            6: "NOUN", 7: "VERB", 8: "DET", 9: "ADJ", 10: "ADV", 11: "ADP"}
+    NOUN, VERB, DET, ADJ, ADV, ADP = 6, 7, 8, 9, 10, 11
+    pos_of: Dict[int, int] = {the_id: DET, a_id: DET, is_id: VERB}
+    for p in preps:
+        pos_of[p] = ADP
+    for forms in subj_forms + obj_forms + place_forms:
+        for w in forms:
+            pos_of[w] = NOUN
+    for forms in verb_forms:
+        for w in forms:
+            pos_of[w] = VERB
+    for w in adjs:
+        pos_of[w] = ADJ
+    for w in advs:
+        pos_of[w] = ADV
+
+    # ---- latent classes: distinct (s, v, o) triples ---------------------
+    triples = set()
+    while len(triples) < n_classes:
+        triples.add((int(rng.randint(n_subj)), int(rng.randint(n_verb)),
+                     int(rng.randint(n_obj))))
+    classes = sorted(triples)
+
+    def _zipf(pool):
+        ranks = np.arange(1, len(pool) + 1, dtype=np.float64)
+        p = 1.0 / (ranks + 2.0)
+        return pool[int(rng.choice(len(pool), p=p / p.sum()))]
+
+    def _realize(s: int, v: int, o: int):
+        """One caption realization (word ids + pos ids) of a class triple."""
+        S = subj_forms[s][rng.randint(len(subj_forms[s]))]
+        V = verb_forms[v][rng.randint(len(verb_forms[v]))]
+        O = obj_forms[o][rng.randint(len(obj_forms[o]))]
+        t = rng.randint(5)
+        if t == 0:
+            words = [the_id, S, V, the_id, O]
+        elif t == 1:
+            words = [a_id, S, is_id, V, a_id, O]
+        elif t == 2:
+            pl = place_forms[rng.randint(n_place)]
+            words = [a_id, S, is_id, V, a_id, O,
+                     preps[rng.randint(3)], the_id,
+                     pl[rng.randint(len(pl))]]
+        elif t == 3:
+            words = [the_id, S, V, a_id, _zipf(adjs), O]
+        else:
+            words = [S, V, O]
+        if rng.rand() < adv_p:
+            words = words + [_zipf(advs)]
+        return words, [pos_of[w] for w in words]
+
+    # ---- corpus ----------------------------------------------------------
+    n_train = max(2, int(n_videos * 0.6))
+    n_val = max(1, int(n_videos * 0.2))
+    split = {
+        "train": list(range(n_train)),
+        "validate": list(range(n_train, n_train + n_val)),
+        "test": list(range(n_train + n_val, n_videos)),
+    }
+    captions: Dict[str, list] = {}
+    pos_tags: Dict[str, list] = {}
+    references: Dict[str, list] = {}
+    length_info: Dict[str, list] = {}
+    itoc: Dict[int, int] = {}
+    video_class = [v % n_classes for v in range(n_videos)]  # train covers all
+    for v in range(n_videos):
+        vid = "video%d" % v
+        s, vb, o = classes[video_class[v]]
+        itoc[v] = s % n_categories  # category correlates with the subject
+        captions[vid], pos_tags[vid], references[vid] = [], [], []
+        hist = [0] * 50
+        for ci in range(n_caps):
+            ss, vv, oo = s, vb, o
+            if rng.rand() < distractor_p:  # one slot swapped: label noise
+                slot = rng.randint(3)
+                if slot == 0:
+                    ss = int(rng.randint(n_subj))
+                elif slot == 1:
+                    vv = int(rng.randint(n_verb))
+                else:
+                    oo = int(rng.randint(n_obj))
+            words, tags = _realize(ss, vv, oo)
+            captions[vid].append([C.BOS] + words + [C.EOS])
+            pos_tags[vid].append([C.BOS] + tags + [C.EOS])
+            if len(words) < 50:
+                hist[len(words)] += 1
+            references[vid].append({
+                "image_id": vid, "cap_id": ci,
+                "caption": " ".join(itow[w] for w in words)})
+        length_info[vid] = hist
+
+    split_category = {
+        mode: {c: [v for v in vids if itoc[v] == c]
+               for c in range(n_categories)}
+        for mode, vids in split.items()}
+    info_corpus = {
+        "info": {"itow": itow, "itoc": itoc, "itop": itop,
+                 "length_info": length_info, "split": split,
+                 "split_category": split_category},
+        "captions": captions,
+        "pos_tags": pos_tags,
+    }
+
+    # ---- compositional features -----------------------------------------
+    feats: Dict[str, Dict[str, np.ndarray]] = {}
+    for ch in cfg.modality.lower():
+        dim = getattr(cfg, "dim_%s" % ch)
+        es = rng.randn(n_subj, dim) / np.sqrt(3)
+        ev = rng.randn(n_verb, dim) / np.sqrt(3)
+        eo = rng.randn(n_obj, dim) / np.sqrt(3)
+        feats["feats_%s" % ch] = {}
+        for v in range(n_videos):
+            s, vb, o = classes[video_class[v]]
+            center = es[s] + ev[vb] + eo[o]
+            vid_off = video_offset * rng.randn(dim)
+            frames = (center[None, :] + vid_off[None, :]
+                      + feat_noise * rng.randn(n_total_frames, dim))
+            feats["feats_%s" % ch]["video%d" % v] = frames.astype(np.float32)
+    return info_corpus, references, feats
+
+
 def write_hdf5_feats(path: str, feats_for_modality: Dict[str, np.ndarray]) -> None:
     """Persist one modality's synthetic features as an HDF5 store."""
     import h5py
