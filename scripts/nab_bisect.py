@@ -267,10 +267,13 @@ def main():
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
-    print(json.dumps({k: report[k] for k in
-                      ("steps", "max_abs_delta", "mean_abs_delta",
-                       "max_rel_delta", "first_step_loss", "last_step_loss")},
-                     indent=1))
+    summary = {k: report[k] for k in
+               ("steps", "max_abs_delta", "mean_abs_delta",
+                "max_rel_delta", "first_step_loss", "last_step_loss")}
+    summary["max_cider_delta"] = report["metric_track"]["max_cider_delta"]
+    summary["caption_agreement"] = \
+        report["metric_track"]["per_epoch_caption_agreement"]
+    print(json.dumps(summary, indent=1))
 
 
 if __name__ == "__main__":
