@@ -251,6 +251,7 @@ def cross_attend(q: jnp.ndarray, ke: jnp.ndarray, ve: jnp.ndarray,
         out_specs=pl.BlockSpec((r, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        name="cross_attend",
         interpret=interpret,
     )(q, ke, ve)
     return att
@@ -345,6 +346,7 @@ def beam_attend_step(kc: jnp.ndarray, vc: jnp.ndarray,
         # beyond the prefix now keep their previous contents rather than
         # being unspecified — still opaque to callers by contract.
         input_output_aliases={6: 0, 7: 1},
+        name="beam_attend_step",
         interpret=interpret,
     )(tpos_arr, local, q, kt, vt, amask_p, kc, vc)
     return kco, vco, att

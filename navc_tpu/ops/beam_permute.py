@@ -115,6 +115,7 @@ def permute_beam_caches(kc: jnp.ndarray, vc: jnp.ndarray,
             jax.ShapeDtypeStruct((n, m), kc.dtype),
             jax.ShapeDtypeStruct((n, m), vc.dtype),
         ],
+        name="beam_permute",
         interpret=interpret,
     )(local, kc2, vc2)
     return okc.reshape(kc.shape), ovc.reshape(vc.shape)

@@ -295,6 +295,7 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
                      + [enc_spec] * len(enc_ops) + base_specs[2:] + wspecs,
             out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), out_dtype),
+            name="fused_layer_fold",
             interpret=interpret,
         )(x2, static2, lns, lnb, *enc_ops, kp2, enc_kp2,
           *[w[k] for k in WEIGHT_KEYS])
@@ -306,6 +307,7 @@ def fused_nar_decoder_layer(x: jnp.ndarray, enc: jnp.ndarray,
             in_specs=base_specs + wspecs,
             out_specs=pl.BlockSpec((t, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n_pad * l_pad, h), out_dtype),
+            name="fused_layer",
             interpret=interpret,
         )(x2, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
 
@@ -469,6 +471,7 @@ def fused_nar_decoder_layer_qsub(
                  + wspecs,
         out_specs=pl.BlockSpec((tq, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad * k_pad, h), out_dtype),
+        name="fused_layer_qsub",
         interpret=interpret,
     )(sel_bd, mrow, x2, s2, lns, lnb, *enc_ops, kp2, enc_kp2,
       *[w[key] for key in WEIGHT_KEYS])

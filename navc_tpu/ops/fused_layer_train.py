@@ -422,6 +422,7 @@ def _fwd_call(x, enc, kp_mask, weights, seed, *, n_head, tb, causal, p,
         out_shape=[jax.ShapeDtypeStruct((n_pad * l_pad, h), out_dtype),
                    jax.ShapeDtypeStruct((n_pad * l_pad, h), cdt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        name="fused_train_fwd",
         interpret=interpret,
     )(seed, x2, enc2, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
     out3 = out.reshape(n_pad, l_pad, h)[:n, :l]
@@ -462,6 +463,7 @@ def _ffn_bwd_call(r2_flat, dy, kp_mask, weights, seed, *, dims, tb, p, cdt,
                         pltpu.VMEM((ffn, h), jnp.float32),
                         pltpu.VMEM((1, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        name="fused_train_ffn_bwd",
         interpret=interpret,
     )(seed, r2_flat, dy2, kp2, wi, bi, wd)
     return dr2, dwi, dbi[0], dwd, dbd[0]
@@ -510,6 +512,7 @@ def _attn_bwd_call(x, enc, dr2_flat, kp_mask, weights, seed, *, dims, n_head,
                   + grad_shapes,
         scratch_shapes=scratches,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        name="fused_train_attn_bwd",
         interpret=interpret,
     )(seed, x2, enc2, dr2_flat, kp2, enc_kp2, *[w[k] for k in WEIGHT_KEYS])
 

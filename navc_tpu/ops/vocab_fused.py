@@ -33,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(h_ref, w_ref, *refs, tv: int, v_real: int, has_bias: bool):
+def _kernel(h_ref, w_ref, *refs, tv: int, has_bias: bool):
     if has_bias:
         b_ref, ids_ref, maxp_ref, m_scr, s_scr, amax_scr = refs
     else:
@@ -41,12 +41,13 @@ def _kernel(h_ref, w_ref, *refs, tv: int, v_real: int, has_bias: bool):
     j = pl.program_id(1)
     scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     if has_bias:
-        scores = scores + b_ref[:]  # (1, TV) broadcast — tied-projection bias
-    if v_real % tv:
-        # padded vocab columns must never win nor contribute to the sum-exp
-        # (they exist only when V is not a TV multiple)
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
-        scores = jnp.where(col < v_real, scores, NEG_INF)
+        # (1, TV) broadcast — tied-projection bias. Padded vocab columns
+        # (when V is not a TV multiple) carry NEG_INF in the padded bias, so
+        # they can never win the argmax nor contribute to the sum-exp — this
+        # replaces a per-tile iota/compare/where masking pass (three VPU
+        # passes over every (TN, TV) tile, since real vocabs are never
+        # lane-tile aligned: 10048 = 64*157) with zero extra work.
+        scores = scores + b_ref[:]
     tile_max = jnp.max(scores, axis=-1, keepdims=True)           # (TN, 1)
     tile_arg = (jnp.argmax(scores, axis=-1)[:, None] + j * tv)   # (TN, 1)
 
@@ -97,22 +98,25 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
     h_p = (h.astype(jnp.bfloat16) if n == n_pad else
            jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16)))
     w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
-    has_bias = bias is not None
+    # a NEG_INF-padded bias row masks the padded vocab columns for free;
+    # synthesized even without a user bias whenever padding exists
+    has_bias = bias is not None or v_pad != v
     inputs = [h_p, w_p]
     in_specs = [
         pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     if has_bias:
-        b_p = jnp.zeros((1, v_pad), jnp.float32).at[0, :v].set(
-            bias.astype(jnp.float32))
+        b_p = jnp.full((1, v_pad), NEG_INF, jnp.float32).at[0, :v].set(
+            jnp.zeros((v,), jnp.float32) if bias is None
+            else bias.astype(jnp.float32))
         inputs.append(b_p)
         in_specs.append(
             pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM))
 
     grid = (n_pad // tn, v_pad // tv)
     ids, maxp = pl.pallas_call(
-        functools.partial(_kernel, tv=tv, v_real=v, has_bias=has_bias),
+        functools.partial(_kernel, tv=tv, has_bias=has_bias),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -128,14 +132,14 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
             pltpu.VMEM((tn, 1), jnp.float32),
             pltpu.VMEM((tn, 1), jnp.int32),
         ],
+        name="vocab_argmax",
         interpret=interpret,
     )(*inputs)
 
     return ids[:n, 0], maxp[:n, 0]
 
 
-def _gather_kernel(h_ref, w_ref, tgt_ref, *refs, tv: int, v_real: int,
-                   has_bias: bool):
+def _gather_kernel(h_ref, w_ref, tgt_ref, *refs, tv: int, has_bias: bool):
     if has_bias:
         b_ref, prob_ref, m_scr, s_scr, g_scr = refs
     else:
@@ -143,10 +147,8 @@ def _gather_kernel(h_ref, w_ref, tgt_ref, *refs, tv: int, v_real: int,
     j = pl.program_id(1)
     scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     if has_bias:
-        scores = scores + b_ref[:]
+        scores = scores + b_ref[:]  # padded columns masked via NEG_INF bias
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
-    if v_real % tv:
-        scores = jnp.where(col < v_real, scores, NEG_INF)
 
     tile_max = jnp.max(scores, axis=-1, keepdims=True)
     tsel = col == tgt_ref[:]  # (TN, TV) one-hot of the target id
@@ -195,7 +197,7 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
            jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16)))
     w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
     t_p = jnp.zeros((n_pad, 1), jnp.int32).at[:n, 0].set(targets.astype(jnp.int32))
-    has_bias = bias is not None
+    has_bias = bias is not None or v_pad != v
     inputs = [h_p, w_p, t_p]
     in_specs = [
         pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -203,15 +205,16 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
         pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
     ]
     if has_bias:
-        b_p = jnp.zeros((1, v_pad), jnp.float32).at[0, :v].set(
-            bias.astype(jnp.float32))
+        b_p = jnp.full((1, v_pad), NEG_INF, jnp.float32).at[0, :v].set(
+            jnp.zeros((v,), jnp.float32) if bias is None
+            else bias.astype(jnp.float32))
         inputs.append(b_p)
         in_specs.append(
             pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM))
 
     grid = (n_pad // tn, v_pad // tv)
     prob = pl.pallas_call(
-        functools.partial(_gather_kernel, tv=tv, v_real=v, has_bias=has_bias),
+        functools.partial(_gather_kernel, tv=tv, has_bias=has_bias),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tn, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -221,13 +224,13 @@ def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
             pltpu.VMEM((tn, 1), jnp.float32),
             pltpu.VMEM((tn, 1), jnp.float32),
         ],
+        name="vocab_gather_prob",
         interpret=interpret,
     )(*inputs)
     return prob[:n, 0]
 
 
-def _topk_kernel(h_ref, w_ref, *refs, tv: int, v_real: int, k: int,
-                 has_bias: bool):
+def _topk_kernel(h_ref, w_ref, *refs, tv: int, k: int, has_bias: bool):
     if has_bias:
         b_ref, wp_ref, ids_ref, m_scr, s_scr, tv_scr, ti_scr = refs
     else:
@@ -235,10 +238,7 @@ def _topk_kernel(h_ref, w_ref, *refs, tv: int, v_real: int, k: int,
     j = pl.program_id(1)
     scores = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     if has_bias:
-        scores = scores + b_ref[:]
-    if v_real % tv:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + j * tv
-        scores = jnp.where(col < v_real, scores, NEG_INF)
+        scores = scores + b_ref[:]  # padded columns masked via NEG_INF bias
 
     tile_max = jnp.max(scores, axis=-1, keepdims=True)
     s_tile = jnp.sum(jnp.exp(scores - tile_max), axis=-1, keepdims=True)
@@ -319,23 +319,23 @@ def fused_project_topk(h: jnp.ndarray, w: jnp.ndarray,
     h_p = (h.astype(jnp.bfloat16) if n == n_pad else
            jnp.zeros((n_pad, d), jnp.bfloat16).at[:n].set(h.astype(jnp.bfloat16)))
     w_p = jnp.zeros((d, v_pad), jnp.bfloat16).at[:, :v].set(w.astype(jnp.bfloat16))
-    has_bias = bias is not None
+    has_bias = bias is not None or v_pad != v
     inputs = [h_p, w_p]
     in_specs = [
         pl.BlockSpec((tn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((d, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     if has_bias:
-        b_p = jnp.zeros((1, v_pad), jnp.float32).at[0, :v].set(
-            bias.astype(jnp.float32))
+        b_p = jnp.full((1, v_pad), NEG_INF, jnp.float32).at[0, :v].set(
+            jnp.zeros((v,), jnp.float32) if bias is None
+            else bias.astype(jnp.float32))
         inputs.append(b_p)
         in_specs.append(
             pl.BlockSpec((1, tv), lambda i, j: (0, j), memory_space=pltpu.VMEM))
 
     grid = (n_pad // tn, v_pad // tv)
     wp, ids = pl.pallas_call(
-        functools.partial(_topk_kernel, tv=tv, v_real=v, k=k,
-                          has_bias=has_bias),
+        functools.partial(_topk_kernel, tv=tv, k=k, has_bias=has_bias),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -352,6 +352,7 @@ def fused_project_topk(h: jnp.ndarray, w: jnp.ndarray,
             pltpu.VMEM((tn, k), jnp.float32),
             pltpu.VMEM((tn, k), jnp.int32),
         ],
+        name="vocab_topk",
         interpret=interpret,
     )(*inputs)
     return wp[:n], ids[:n]
