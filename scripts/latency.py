@@ -94,6 +94,22 @@ def main():
             "transport_rtt_ms": round(rtt * 1000, 2),
             "captions_per_sec": round(b / wall, 1),
         }
+
+        # (d) streamed serving: the host-pipelined B=1 request path
+        # (runtime/serving.py) — encode + decode dispatched per request with
+        # `depth` requests in flight, so transport overlaps device compute.
+        # The sequential protocol above is the depth=0 degenerate case.
+        if b == 1:
+            from navc_tpu.runtime.serving import StreamingCaptioner
+            cap = StreamingCaptioner(cfg, model, variables,
+                                     (tcfg, teacher, tvars), depth=4)
+            reqs = [([np.asarray(f) for f in feats], np.asarray(category))
+                    for _ in range(max(args.iters, 20))]
+            list(cap.map_stream(reqs[:4]))  # warm the serving pipeline
+            _, per_req = cap.timed_stream(reqs)
+            results["B=1"]["streamed_ms_per_request"] = round(per_req * 1e3, 2)
+            results["B=1"]["streamed_requests_per_sec"] = round(1.0 / per_req, 1)
+
         print("B=%4d: wall %8.2f ms  device %8.2f ms  rtt %6.2f ms  %10.1f captions/s"
               % (b, wall * 1000, device * 1000, rtt * 1000, b / wall),
               file=sys.stderr)
