@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--rows", type=int, default=49152,
                     help="token rows N (default: B=8192 * lbs=6)")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--sweep", action="store_true",
+                    help="also sweep (tn, tv) tiles for argmax and the "
+                         "beam top-k kernel at its production row count")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test: interpret-mode kernel, tiny shapes")
     args = ap.parse_args()
@@ -109,6 +112,36 @@ def main():
     dt = timeit(lambda: f_xla(h)[1], args.iters)
     results["xla_project_argmax"] = {
         "ms": round(dt * 1e3, 3), "tflops": round(flops / dt / 1e12, 1)}
+
+    if args.sweep:
+        # argmax tile sweep + the beam top-k kernel at its production shape
+        # (N = B*beam rows at B=1024): picks the production (tn, tv)
+        from navc_tpu.ops.vocab_fused import fused_project_topk
+        for tn, tv in ((512, 2048), (512, 2560), (256, 2560), (512, 1024),
+                       (1024, 2048)):
+            f = jax.jit(lambda x, tn=tn, tv=tv: fused_project_argmax(
+                x, w, bias=b, tn=tn, tv=tv, interpret=args.interpret))
+            try:
+                dt = timeit(lambda: f(h)[1], args.iters)
+                results["argmax_tn%d_tv%d" % (tn, tv)] = {
+                    "ms": round(dt * 1e3, 3),
+                    "tflops": round(flops / dt / 1e12, 1)}
+            except Exception as e:
+                results["argmax_tn%d_tv%d" % (tn, tv)] = {"error": str(e)[:160]}
+        n5 = min(5120, n)
+        h5 = h[:n5]
+        fl5 = 2.0 * n5 * d * v
+        for tn, tv in ((512, 2048), (512, 1024), (512, 512), (256, 2048)):
+            f = jax.jit(lambda x, tn=tn, tv=tv: fused_project_topk(
+                x, w, 5, bias=b, tn=tn, tv=tv, interpret=args.interpret))
+            try:
+                dt = timeit(lambda: f(h5)[1], args.iters)
+                results["topk5_n%d_tn%d_tv%d" % (n5, tn, tv)] = {
+                    "ms": round(dt * 1e3, 3),
+                    "tflops": round(fl5 / dt / 1e12, 1)}
+            except Exception as e:
+                results["topk5_n%d_tn%d_tv%d" % (n5, tn, tv)] = {
+                    "error": str(e)[:160]}
 
     out = {"rows": n, "d": d, "v": v,
            "device": jax.devices()[0].device_kind, **results}
