@@ -76,7 +76,7 @@ def _kernel(h_ref, w_ref, *refs, tv: int, has_bias: bool):
 @functools.partial(jax.jit, static_argnames=("tn", "tv", "interpret"))
 def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
                          bias: Optional[jnp.ndarray] = None,
-                         tn: int = 512, tv: int = 2048,
+                         tn: int = 256, tv: int = 2560,
                          interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """argmax ids + max softmax prob of h @ w (+ bias) without logits in HBM.
@@ -85,6 +85,11 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
     the tied-projection path (reference seq2seq.py:27-33) projects through
     the transposed embedding table WITH a bias. Returns (ids (N,) int32,
     max_prob (N,) float32). Matmul runs in bf16 with f32 accumulation.
+
+    Default tiles (tn=256, tv=2560) are the live-TPU sweep winner at the
+    flagship dense CT/completion shape, 49152x512x10048 (KERNEL_BENCH.json:
+    6.18 ms vs 9.22 ms for the old 512x2048; tv=2560 with tn=512 spills
+    VMEM and collapses to ~54 ms — resweep before touching these).
     """
     n, d = h.shape
     d2, v = w.shape

@@ -109,6 +109,12 @@ def main():
                     default=["ARB", "ARB2", "NAB", "NACF"])
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse existing checkpoints; rerun ablations only")
+    ap.add_argument("--seed-sweep", nargs="+", type=int, default=None,
+                    help="train NACF+NAB at these extra seeds (same corpus, "
+                         "same seed-0 ARB teacher), decode the default "
+                         "ablation for each, and append a seed_sweep section "
+                         "with per-seed CIDEr and the by-mean ordering to an "
+                         "existing FLAGSHIP_E2E.json")
     ap.add_argument("--small", action="store_true",
                     help="toy dims + small corpus: CPU smoke of the whole "
                          "campaign (script validation, not evidence)")
@@ -180,6 +186,68 @@ def main():
         "calibration": {"oracle_test": oracle, "majority_test": majority},
         "methods": {},
     }
+
+    if args.seed_sweep:
+        # ---- ordering-by-mean over seeds (VERDICT r3 #1 follow-up) --------
+        # The single-seed default-decode NACF/NAB gap (~1%) is within seed
+        # noise; this trains the two students at extra seeds against the
+        # FIXED seed-0 ARB teacher and reports per-seed default-decode CIDEr.
+        with open(args.out) as f:
+            report = json.load(f)
+        teacher = os.path.join(ckpt_root, "MSRVTT", "ARB", "flagship",
+                               "best.ckpt")
+        nar_common = ["--dataset", "MSRVTT", "--evaluation_mode", "test",
+                      "--batch_size", str(args.batch),
+                      "--beam_alpha", "1.35", "--iterations", "5",
+                      "--length_beam_size", "6", "--paradigm", "mp",
+                      "--teacher_path", teacher]
+        sweep = report.setdefault("seed_sweep", {
+            "protocol": ("NACF/NAB retrained at extra seeds on the same "
+                         "corpus vs the fixed seed-0 ARB teacher; default "
+                         "decode (CT for NACF, final rescoring on)"),
+            "default_CIDEr": {
+                "NACF": {"0": report["ablations"]["NACF_default"]["CIDEr"]},
+                "NAB": {"0": report["ablations"]["NAB_default"]["CIDEr"]},
+            },
+        })
+        for seed in args.seed_sweep:
+            for student in ("NACF", "NAB"):
+                scope = "flagship_s%d" % seed
+                ck = os.path.join(ckpt_root, "MSRVTT", student, scope,
+                                  "best.ckpt")
+                if not os.path.exists(ck):
+                    # --default force-derives teacher_path from the scope
+                    # (parity with reference opts.py:201-207), so expose the
+                    # FIXED seed-0 ARB teacher at the derived per-seed path —
+                    # the sweep varies only the student
+                    tdir = os.path.join(ckpt_root, "MSRVTT", "ARB", scope)
+                    os.makedirs(tdir, exist_ok=True)
+                    tlink = os.path.join(tdir, "best.ckpt")
+                    if not os.path.exists(tlink):
+                        os.symlink(teacher, tlink)
+                    print("[quality] seed %d training %s ..." % (seed, student),
+                          file=sys.stderr)
+                    train_main([a if a != "flagship" else scope
+                                for a in common]
+                               + ["--method", student, "--seed", str(seed)])
+                ct = ["--use_ct"] if student == "NACF" else []
+                res = translate_main(["--model_path", ck] + nar_common + ct)
+                sweep["default_CIDEr"][student][str(seed)] = float(
+                    res["test"]["CIDEr"])
+                with open(args.out, "w") as f:
+                    json.dump(report, f, indent=1)
+                    f.write("\n")
+        means = {m: float(np.mean(list(v.values())))
+                 for m, v in sweep["default_CIDEr"].items()}
+        sweep["mean_CIDEr"] = {m: round(v, 4) for m, v in means.items()}
+        sweep["nacf_ge_nab_by_mean"] = bool(means["NACF"] >= means["NAB"])
+        report["ordering"]["nacf_ge_nab_by_seed_mean"] = \
+            sweep["nacf_ge_nab_by_mean"]
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
+        print(json.dumps(sweep, indent=1))
+        return
 
     for method in args.methods:
         if args.skip_train:
