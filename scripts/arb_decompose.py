@@ -60,7 +60,7 @@ def classify(op: str) -> str:
     if op.startswith("fusion") or op.startswith("loop_"):
         return "XLA fusions (beam bookkeeping: top-k merge, reorder, scores)"
     if re.search(r"while|select-and|tuple|parameter|broadcast", op):
-        return "while-loop plumbing"
+        return "while-loop plumbing (self-time: per-step sequencing gaps)"
     return "other"
 
 
@@ -135,7 +135,7 @@ def main():
     args = ap.parse_args()
 
     import bench
-    from trace_summary import find_trace, load_events, summarize
+    from trace_summary import find_trace, load_events, module_spans, self_times
 
     if args.no_run:
         with open(os.path.join(ROOT, "BENCH_LIVE_ARB.json")) as f:
@@ -149,8 +149,12 @@ def main():
                                    quiet=True)
         trace_dir = result["trace_dir"]
 
+    # exclusive self-time from the 'XLA Ops' lane only: the parallel
+    # 'XLA Modules' lane duplicates the whole timeline (one envelope event
+    # per executed program) and within the op lane fusions nest
     events = load_events(find_trace(trace_dir))
-    _, by_pid, by_op, n_op = summarize(events)
+    by_op, n_op = self_times(events)
+    module_us, n_modules = module_spans(events)
 
     lanes = collections.Counter()
     lane_ops = collections.defaultdict(collections.Counter)
@@ -200,6 +204,16 @@ def main():
             "per_step_device_us": round(per_step_us, 1),
             "wall_per_decode_ms": round(
                 args.batch / result["value"] * 1e3, 2),
+            # envelope accounting: ops vs the program span vs wall
+            "module_span_ms_per_decode": round(module_us / n_modules / 1e3, 2)
+            if n_modules else None,
+            "in_module_gap_us_per_step": round(
+                (module_us - total_op_us) / iters / steps, 1)
+            if n_modules else None,
+            "host_dispatch_ms_per_decode": round(
+                args.batch / result["value"] * 1e3
+                - module_us / max(n_modules, 1) / 1e3, 2)
+            if n_modules else None,
         },
         "bounds_us_per_step": {
             "mxu": round(mxu_us, 1),

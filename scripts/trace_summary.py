@@ -49,6 +49,87 @@ def group_name(name: str) -> str:
     return name
 
 
+def lane_name(pid_names, tid_names, ev):
+    pid = ev.get("pid")
+    return "%s/%s" % (pid_names.get(pid, str(pid)),
+                      tid_names.get((pid, ev.get("tid")), str(ev.get("tid"))))
+
+
+def meta_names(events):
+    pid_names, tid_names = {}, {}
+    for ev in events:
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev.get("args", {}).get("name", str(ev["pid"]))
+        elif ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = ev.get("args", {}).get(
+                "name", str(ev["tid"]))
+    return pid_names, tid_names
+
+
+def module_spans(events):
+    """Total us and count of the device 'XLA Modules' envelope events.
+
+    Each event is one executed program (e.g. one jit_generate call); its span
+    covers every op the program ran, so it must never be summed with op time.
+    """
+    pid_names, tid_names = meta_names(events)
+    total, n = 0.0, 0
+    for ev in events:
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        if "Modules" in lane_name(pid_names, tid_names, ev):
+            total += ev["dur"]
+            n += 1
+    return total, n
+
+
+def self_times(events, lane_substr="XLA Ops"):
+    """Exclusive (self) device time per op group, from op lanes only.
+
+    The device exposes two parallel lanes per pid — 'XLA Modules' (one
+    envelope event per executed program, spanning everything) and 'XLA Ops'
+    (the individual ops, which additionally nest: fusion parents ⊃ children).
+    Summing across both double-counts the entire timeline, so only lanes
+    whose thread name matches ``lane_substr`` are read, and within a lane a
+    stack sweep over start-sorted events charges each op only the time not
+    covered by its direct children. Returns (by_op_self_us, n_op).
+    """
+    pid_names, tid_names = meta_names(events)
+
+    tracks = collections.defaultdict(list)
+    for ev in events:
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        if lane_substr in lane_name(pid_names, tid_names, ev):
+            tracks[(ev.get("pid"), ev.get("tid"))].append(ev)
+
+    by_op = collections.Counter()
+    n_op = collections.Counter()
+
+    def close(frame):
+        end, name, dur, child = frame
+        g = group_name(name)
+        by_op[g] += max(0.0, dur - child[0])
+        n_op[g] += 1
+
+    for evs in tracks.values():
+        # start-ascending; ties: longest first so parents precede children
+        evs.sort(key=lambda e: (e["ts"], -e["dur"]))
+        stack = []  # frames: [end_ts, name, dur, [child_dur_sum]]
+        for ev in evs:
+            ts, dur = ev["ts"], ev["dur"]
+            while stack and stack[-1][0] <= ts:
+                close(stack.pop())
+            if stack:  # nested: charge my span to the parent's child sum
+                stack[-1][3][0] += dur
+            stack.append((ts + dur, ev.get("name", "?"), dur, [0.0]))
+        while stack:
+            close(stack.pop())
+    return by_op, n_op
+
+
 def summarize(events, top: int = 30):
     pid_names = {}
     for ev in events:
