@@ -186,7 +186,7 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
 
         qc = dense(att, w["wq_c"], w["bq_c"])
         if fused_cross:
-            crossed = cross_attend(qc, ke_flat, ve_flat, k=k, nh=nh)
+            crossed = cross_attend(qc, ke_rows, ve_rows, nh=nh)
         else:
             crossed = attend_cross(qc.reshape(n, nh, dh))
         outc = dense(crossed, w["wo_c"], w["bo_c"])
@@ -244,10 +244,14 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
                                    cross_attend_eligible)
 
     le = ke.shape[1]
-    fused_cross = cross_attend_eligible(b, le, h)
+    fused_cross = cross_attend_eligible(n, le, h)
     if fused_cross:
-        ke_flat = ke.reshape(b, le * h).astype(jnp.float32)
-        ve_flat = ve.reshape(b, le * h).astype(jnp.float32)
+        # row-expand the per-instance enc K/V ONCE per decode (kept in HBM,
+        # streamed by the kernel every step). bf16 storage is lossless in
+        # the production dtype: dense() emits f32 casts of bf16 values.
+        cdt = jnp.float32 if f32 else jnp.bfloat16
+        ke_rows = jnp.repeat(ke.reshape(b, le * h).astype(cdt), k, axis=0)
+        ve_rows = jnp.repeat(ve.reshape(b, le * h).astype(cdt), k, axis=0)
 
     def step_fused(seqs_flat, kc2, vc2, prev_k, t):
         """Fused variant: caches are flat (N, L*h); the beam-ancestry

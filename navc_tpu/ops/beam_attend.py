@@ -170,90 +170,114 @@ def _kernel(tpos_ref, idx_ref, q_ref, kt_ref, vt_ref, amask_ref,
         att_ref[:] = o_scr[:] / sb
 
 
-def _cross_kernel(q_ref, ke_ref, ve_ref, att_ref, *,
-                  rows: int, k: int, le: int, h: int, nh: int, dh: int):
+def _cross_kernel(q_ref, ke_ref, ve_ref, att_ref, m_scr, s_scr, o_scr, *,
+                  rows: int, h: int, nh: int, dh: int):
+    j = pl.program_id(1)
+    nl = pl.num_programs(1)
     inv_sqrt_dh = 1.0 / math.sqrt(dh)
-    # all payloads here are REAL f32 values — HIGHEST avoids the TPU
-    # default bf16 matmul truncation (see beam_attend._kernel)
+    # score/apply segment matmuls carry REAL f32 values — HIGHEST avoids the
+    # TPU default bf16 matmul truncation (see beam_attend._kernel); the
+    # shapes are tiny ((R, h) x (h, nh)) so the extra passes are cheap
     hi = _PREC
     hgrp = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 0) // dh
     hcol = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 1)
     seg = (hgrp == hcol).astype(jnp.float32)
-    # instance -> beam-row broadcast: row r reads instance r // k
-    rinst = jax.lax.broadcasted_iota(jnp.int32, (rows, rows // k), 0) // k
-    cinst = jax.lax.broadcasted_iota(jnp.int32, (rows, rows // k), 1)
-    exp = (rinst == cinst).astype(jnp.float32)  # (rows, n_inst)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full((rows, nh), MASK_NEG, jnp.float32)
+        s_scr[:] = jnp.zeros((rows, nh), jnp.float32)
+        o_scr[:] = jnp.zeros((rows, h), jnp.float32)
 
     q = q_ref[:]
-    m = jnp.full((rows, nh), MASK_NEG, jnp.float32)
-    s = jnp.zeros((rows, nh), jnp.float32)
-    o = jnp.zeros((rows, h), jnp.float32)
-    for lp in range(le):
-        kseg = jnp.dot(exp, ke_ref[:, lp * h:(lp + 1) * h], precision=hi,
-                       preferred_element_type=jnp.float32)
-        vseg = jnp.dot(exp, ve_ref[:, lp * h:(lp + 1) * h], precision=hi,
-                       preferred_element_type=jnp.float32)
-        prod = q * kseg
-        sl = jnp.dot(prod, seg, precision=hi,
-                     preferred_element_type=jnp.float32) * inv_sqrt_dh
-        m_new = jnp.maximum(m, sl)
-        resc = jnp.exp(m - m_new)
-        pw = jnp.exp(sl - m_new)
-        s = s * resc + pw
-        rb = jnp.dot(resc, seg.T, precision=hi,
-                     preferred_element_type=jnp.float32)
-        pb = jnp.dot(pw, seg.T, precision=hi,
-                   preferred_element_type=jnp.float32)
-        o = o * rb + pb * vseg
-        m = m_new
-    sb = jnp.dot(s, seg.T, precision=hi,
+    kseg = ke_ref[:].astype(jnp.float32)
+    vseg = ve_ref[:].astype(jnp.float32)
+    prod = q * kseg
+    sl = jnp.dot(prod, seg, precision=hi,
+                 preferred_element_type=jnp.float32) * inv_sqrt_dh
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, sl)
+    resc = jnp.exp(m_old - m_new)
+    pw = jnp.exp(sl - m_new)
+    s_scr[:] = s_scr[:] * resc + pw
+    rb = jnp.dot(resc, seg.T, precision=hi,
                  preferred_element_type=jnp.float32)
-    att_ref[:] = o / sb
+    pb = jnp.dot(pw, seg.T, precision=hi,
+                 preferred_element_type=jnp.float32)
+    o_scr[:] = o_scr[:] * rb + pb * vseg
+    m_scr[:] = m_new
+
+    @pl.when(j == nl - 1)
+    def _finish():
+        sb = jnp.dot(s_scr[:], seg.T, precision=hi,
+                     preferred_element_type=jnp.float32)
+        att_ref[:] = o_scr[:] / sb
 
 
-def cross_attend_eligible(b: int, le: int, h: int) -> bool:
-    return (b % _GROUP == 0 and h % 128 == 0
-            and _GROUP * le * h * 4 * 2 <= 8 * 1024 * 1024)
+def pick_rtile(n: int, h: int, itemsize: int) -> int:
+    """Largest row block <= 512 dividing n with modest VMEM (see below)."""
+    cap = int(_os.environ.get("NAVC_CROSS_RTILE", "512"))
+    for r in range(min(n, cap), 7, -1):
+        if n % r or r % 8:
+            continue
+        # double-buffered q/ke/ve blocks + o scratch + output block
+        if r * h * (2 * (4 + 2 * itemsize) + 4 + 2 * 4) <= 12 * 1024 * 1024:
+            return r
+    return 0
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nh", "interpret"))
-def cross_attend(q: jnp.ndarray, ke: jnp.ndarray, ve: jnp.ndarray,
-                 k: int, nh: int, interpret: bool = False) -> jnp.ndarray:
-    """Beam cross-attention with per-instance K/V shared across k beams.
+def cross_attend_eligible(n: int, le: int, h: int) -> bool:
+    return h % 128 == 0 and pick_rtile(n, h, 2) >= 8
 
-    q: (b*k, h) f32; ke, ve: (b, le*h) flat f32 enc-side K/V (identical for
-    the k beams of an instance — reference models/SubLayers.py cross
-    attention over enc_output, mask-free in the cached beam path). Returns
-    softmax(q K^T / sqrt(dh)) V as (b*k, h) f32. XLA's einsum formulation
-    of the same contraction shuffles tiny (b, k, nh, le) tensors between
-    layouts (profiled 1.4 ms/step at B=1024·k=5); here the beam broadcast
-    is a one-hot MXU matmul and heads ride segment indicators.
+
+@functools.partial(jax.jit, static_argnames=("nh", "interpret"))
+def cross_attend(q: jnp.ndarray, ke_rows: jnp.ndarray, ve_rows: jnp.ndarray,
+                 nh: int, interpret: bool = False) -> jnp.ndarray:
+    """Beam cross-attention over ROW-EXPANDED, position-blocked enc K/V.
+
+    q: (n, h) f32; ke_rows, ve_rows: (n, le*h) enc-side K/V already expanded
+    to decode rows (one jnp.repeat per decode — the k beams of an instance
+    share enc_output, reference models/SubLayers.py cross attention,
+    mask-free in the cached beam path). Returns softmax(q K^T / sqrt(dh)) V
+    as (n, h) f32.
+
+    The previous design broadcast (b, le*h) K/V to rows INSIDE the kernel
+    with per-step one-hot MXU matmuls; at B=1024·k=5 that re-spent
+    ~0.5 ms/step of MXU on the broadcast and serialized 64 tiny grid blocks
+    (profiled 1.73 ms/step total vs a ~0.14 ms HBM bound). Expanding once
+    per decode in HBM (bf16 in the production dtype — lossless casts of
+    dense() outputs) turns the step into a pure stream: grid (rows, le),
+    one (R, h) tile per enc position, online softmax in scratch.
     """
     n, h = q.shape
-    b = n // k
-    le = ke.shape[1] // h
-    r = _GROUP * k
-    assert b % _GROUP == 0 and h % 128 == 0
+    le = ke_rows.shape[1] // h
+    r = pick_rtile(n, h, ke_rows.dtype.itemsize)
+    assert r and h % 128 == 0
     dh = h // nh
 
-    grid = (n // r,)
+    grid = (n // r, le)
     att = pl.pallas_call(
-        functools.partial(_cross_kernel, rows=r, k=k, le=le, h=h, nh=nh,
-                          dh=dh),
+        functools.partial(_cross_kernel, rows=r, h=h, nh=nh, dh=dh),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((r, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GROUP, le * h), lambda i: (i, 0),
+            pl.BlockSpec((r, h), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GROUP, le * h), lambda i: (i, 0),
+            pl.BlockSpec((r, h), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, h), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r, h), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((r, h), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((r, nh), jnp.float32),
+            pltpu.VMEM((r, nh), jnp.float32),
+            pltpu.VMEM((r, h), jnp.float32),
+        ],
         name="cross_attend",
         interpret=interpret,
-    )(q, ke, ve)
+    )(q, ke_rows, ve_rows)
     return att
 
 

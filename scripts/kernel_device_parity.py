@@ -118,12 +118,13 @@ def check_cross_attend():
     b, k, le, nh, dh = 64, 5, 16, 8, 64
     h = nh * dh
     n = b * k
-    assert cross_attend_eligible(b, le, h)
+    assert cross_attend_eligible(n, le, h)
     rng = np.random.RandomState(6)
     q = jnp.asarray(rng.randn(n, h).astype(np.float32))
     ke = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
     ve = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
-    att = cross_attend(q, ke, ve, k=k, nh=nh)
+    att = cross_attend(q, jnp.repeat(ke, k, axis=0),
+                       jnp.repeat(ve, k, axis=0), nh=nh)
     qh = np.asarray(q).reshape(b, k, nh, dh)
     kh = np.asarray(ke).reshape(b, le, nh, dh)
     vh = np.asarray(ve).reshape(b, le, nh, dh)

@@ -440,12 +440,13 @@ def test_cross_attend_interpret():
     b, k, le, nh, dh = 16, 5, 4, 2, 64
     h = nh * dh
     n = b * k
-    assert cross_attend_eligible(b, le, h)
+    assert cross_attend_eligible(n, le, h)
     rng = np.random.RandomState(9)
     q = jnp.asarray(rng.randn(n, h).astype(np.float32))
     ke = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
     ve = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
-    att = cross_attend(q, ke, ve, k=k, nh=nh, interpret=True)
+    att = cross_attend(q, jnp.repeat(ke, k, axis=0),
+                       jnp.repeat(ve, k, axis=0), nh=nh, interpret=True)
 
     qh = np.asarray(q).reshape(b, k, nh, dh)
     kh = np.asarray(ke).reshape(b, le, nh, dh)
