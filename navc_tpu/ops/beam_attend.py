@@ -31,10 +31,17 @@ formulation's ~4 passes over the full cache.
 
 Numerics: the permute/append are exact; attention sums and the online
 softmax normalizer can differ from the XLA einsum formulation by rounding
-(different f32 summation order, flash rescaling). The kernel is gated
-device-only (decoding/beam.py) so the CPU parity oracles keep the XLA
-arithmetic; reference behavior replicated: models/Translator.py:108 +
-attention masking of models/SubLayers.py (-10e6 fill, f32 softmax).
+(different f32 summation order, flash rescaling). The segment-indicator
+matmuls (head sums / head broadcasts) carry REAL f32 values; in f32-payload
+parity mode they run at NAVC_ATTEND_PREC (exact vs the oracles), while in
+the production bf16-payload mode _segdot uses NAVC_SEG_PASSES bf16 MXU
+passes (2 = hi/lo split, ~2^-18 relative — the XLA path itself rounds its
+probs to bf16 for the V einsum, so this stays within the reference
+arithmetic class at a third of the HIGHEST-precision pass count). The
+kernel is gated device-only (decoding/beam.py) so the CPU parity oracles
+keep the XLA arithmetic; reference behavior replicated:
+models/Translator.py:108 + attention masking of models/SubLayers.py
+(-10e6 fill, f32 softmax).
 """
 
 from __future__ import annotations
@@ -64,6 +71,38 @@ if _PREC_ENV not in _PREC_NAMES:
         % (_PREC_ENV, sorted(_PREC_NAMES)))
 _PREC = _PREC_NAMES[_PREC_ENV]
 
+# MXU passes for the segment-indicator matmuls when the K/V payload is bf16
+# (production decode). 2 = hi/lo bf16 split of the f32 operand (~2^-18
+# relative, far below the softmax's sensitivity); 1 = single bf16 pass (the
+# same one-rounding class as the XLA path's probs.astype(bf16) @ v einsum).
+# f32-payload mode (tests/parity) always takes the exact NAVC_ATTEND_PREC
+# path instead.
+_SEG_PASSES = int(_os.environ.get("NAVC_SEG_PASSES", "2"))
+if _SEG_PASSES not in (1, 2):
+    raise ValueError("NAVC_SEG_PASSES=%r; expected 1 or 2" % _SEG_PASSES)
+
+
+def _segdot(x, w, passes):
+    """``x @ w`` for a REAL-f32 ``x`` against a 0/1 indicator ``w``.
+
+    passes=0: exact via the NAVC_ATTEND_PREC precision (f32 parity mode);
+    passes=1: one MXU pass (x truncated to bf16 — one extra rounding per
+              product vs the XLA einsum path);
+    passes=2: hi/lo bf16 split of x (w is exact in bf16), reconstructing
+              x's f32 mantissa to ~2^-18 at two passes.
+    """
+    if passes == 0:
+        return jnp.dot(x, w, precision=_PREC,
+                       preferred_element_type=jnp.float32)
+    d = jax.lax.Precision.DEFAULT
+    if passes == 1:
+        return jnp.dot(x, w, precision=d,
+                       preferred_element_type=jnp.float32)
+    xh = x.astype(jnp.bfloat16).astype(jnp.float32)
+    xl = x - xh
+    return (jnp.dot(xh, w, precision=d, preferred_element_type=jnp.float32)
+            + jnp.dot(xl, w, precision=d, preferred_element_type=jnp.float32))
+
 
 def pick_ltile(l: int, h: int) -> int:
     """Largest divisor of l with tile width l_tile*h lanes <= ~4096."""
@@ -92,11 +131,10 @@ def _kernel(tpos_ref, idx_ref, q_ref, kt_ref, vt_ref, amask_ref,
     tpos = tpos_ref[0]
     jmax = tpos // tl
     inv_sqrt_dh = 1.0 / math.sqrt(dh)
-    # segment matmuls carry REAL f32 values (exact products, softmax
-    # weights), so they must not take the TPU default bf16 matmul pass —
-    # HIGHEST keeps them f32-accurate (tiny (R, h) x (h, nh) shapes)
-    hi = _PREC
-    cprec = (hi if kc_ref.dtype == jnp.float32
+    # segment matmuls carry REAL f32 values (products, softmax weights);
+    # _segdot picks the pass count: exact in f32-payload parity mode,
+    # split/truncated bf16 passes in production (NAVC_SEG_PASSES)
+    cprec = (_PREC if kc_ref.dtype == jnp.float32
              else jax.lax.Precision.DEFAULT)
 
     # segment indicators: head-sum (h, nh) and head-broadcast (nh, h)
@@ -110,6 +148,8 @@ def _kernel(tpos_ref, idx_ref, q_ref, kt_ref, vt_ref, amask_ref,
         s_scr[:] = jnp.zeros((rows, nh), jnp.float32)
         o_scr[:] = jnp.zeros((rows, h), jnp.float32)
 
+    passes = 0 if okc_ref.dtype == jnp.float32 else _SEG_PASSES
+
     @pl.when(j <= jmax)
     def _work():
         local = idx_ref[:]  # (rows, 1) block-local ancestor rows
@@ -122,6 +162,8 @@ def _kernel(tpos_ref, idx_ref, q_ref, kt_ref, vt_ref, amask_ref,
         rel = tpos - j * tl  # append slot within this tile (>= tl if none)
         q = q_ref[:]
 
+        sls = []
+        vsegs = []
         for lp in range(tl):
             is_app = lp == rel
             kseg = jnp.where(is_app, kt_ref[:], kp[:, lp * h:(lp + 1) * h])
@@ -135,99 +177,98 @@ def _kernel(tpos_ref, idx_ref, q_ref, kt_ref, vt_ref, amask_ref,
 
             # lanes beyond the decoded prefix hold UNSPECIFIED data: output
             # tiles past the clamp are never written (their garbage can be
-            # NaN/Inf), so every accumulator update must be select-guarded —
-            # the additive mask alone cannot neutralize a NaN score
+            # NaN/Inf), so scores and V contributions of invalid positions
+            # must be select-guarded — the additive mask alone cannot
+            # neutralize a NaN
             pos_valid = (j * tl + lp) <= tpos
 
-            # per-head dots: exact f32 products of the stored values,
-            # summed on the MXU via the segment indicator
+            # per-head dots: f32 products of the stored values, summed on
+            # the MXU via the segment indicator
             prod = q * kseg.astype(jnp.float32)
-            sl = jnp.dot(prod, seg, precision=hi,
-                         preferred_element_type=jnp.float32)
-            sl = jnp.where(pos_valid,
-                           sl * inv_sqrt_dh + amask_ref[:, lp][:, None],
-                           MASK_NEG)
+            sl = _segdot(prod, seg, passes)
+            sls.append(jnp.where(pos_valid,
+                                 sl * inv_sqrt_dh + amask_ref[:, lp][:, None],
+                                 MASK_NEG))
+            vsegs.append(jnp.where(pos_valid,
+                                   vseg.astype(jnp.float32), 0.0))
 
-            # online-softmax update
-            m_old = m_scr[:]
-            m_new = jnp.maximum(m_old, sl)
-            resc = jnp.exp(m_old - m_new)
-            pw = jnp.where(pos_valid, jnp.exp(sl - m_new), 0.0)
-            s_scr[:] = s_scr[:] * resc + pw
-            rb = jnp.dot(resc, seg.T, precision=hi,
-                         preferred_element_type=jnp.float32)
-            pb = jnp.dot(pw, seg.T, precision=hi,
-                         preferred_element_type=jnp.float32)
-            contrib = jnp.where(pos_valid,
-                                pb * vseg.astype(jnp.float32), 0.0)
-            o_scr[:] = o_scr[:] * rb + contrib
-            m_scr[:] = m_new
+        # ONE softmax rescale per l-tile (not per position): every position
+        # of the tile is in registers, so the flash update needs a single
+        # max/rescale/broadcast — 7 segment matmuls per tile instead of 18
+        m_old = m_scr[:]
+        m_tile = sls[0]
+        for sl in sls[1:]:
+            m_tile = jnp.maximum(m_tile, sl)
+        m_new = jnp.maximum(m_old, m_tile)
+        resc = jnp.exp(m_old - m_new)
+        # exp(MASK_NEG - m_new) underflows to exactly 0.0 (m_new is finite:
+        # position 0 is always valid), so invalid positions drop out
+        pws = [jnp.exp(sl - m_new) for sl in sls]
+        s_tile = pws[0]
+        for pw in pws[1:]:
+            s_tile = s_tile + pw
+        s_scr[:] = s_scr[:] * resc + s_tile
+
+        rb = _segdot(resc, seg.T, passes)
+        csum = _segdot(pws[0], seg.T, passes) * vsegs[0]
+        for lp in range(1, tl):
+            csum = csum + _segdot(pws[lp], seg.T, passes) * vsegs[lp]
+        o_scr[:] = o_scr[:] * rb + csum
+        m_scr[:] = m_new
 
     @pl.when(j == nl - 1)
     def _finish():
-        sb = jnp.dot(s_scr[:], seg.T, precision=hi,
-                     preferred_element_type=jnp.float32)
+        sb = _segdot(s_scr[:], seg.T, passes)
         att_ref[:] = o_scr[:] / sb
 
 
-def _cross_kernel(q_ref, ke_ref, ve_ref, att_ref, m_scr, s_scr, o_scr, *,
-                  rows: int, h: int, nh: int, dh: int):
-    j = pl.program_id(1)
-    nl = pl.num_programs(1)
+def _cross_kernel(q_ref, ke_ref, ve_ref, att_ref, *,
+                  le: int, h: int, nh: int, dh: int):
     inv_sqrt_dh = 1.0 / math.sqrt(dh)
-    # score/apply segment matmuls carry REAL f32 values — HIGHEST avoids the
-    # TPU default bf16 matmul truncation (see beam_attend._kernel); the
-    # shapes are tiny ((R, h) x (h, nh)) so the extra passes are cheap
-    hi = _PREC
     hgrp = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 0) // dh
     hcol = jax.lax.broadcasted_iota(jnp.int32, (h, nh), 1)
     seg = (hgrp == hcol).astype(jnp.float32)
+    passes = 0 if ke_ref.dtype == jnp.float32 else _SEG_PASSES
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = jnp.full((rows, nh), MASK_NEG, jnp.float32)
-        s_scr[:] = jnp.zeros((rows, nh), jnp.float32)
-        o_scr[:] = jnp.zeros((rows, h), jnp.float32)
-
+    # the whole per-row enc K/V lives in this block, so the softmax is
+    # single-pass: no online rescaling, no scratch carries across grid
+    # steps, and the output block is written exactly once
     q = q_ref[:]
-    kseg = ke_ref[:].astype(jnp.float32)
-    vseg = ve_ref[:].astype(jnp.float32)
-    prod = q * kseg
-    sl = jnp.dot(prod, seg, precision=hi,
-                 preferred_element_type=jnp.float32) * inv_sqrt_dh
-    m_old = m_scr[:]
-    m_new = jnp.maximum(m_old, sl)
-    resc = jnp.exp(m_old - m_new)
-    pw = jnp.exp(sl - m_new)
-    s_scr[:] = s_scr[:] * resc + pw
-    rb = jnp.dot(resc, seg.T, precision=hi,
-                 preferred_element_type=jnp.float32)
-    pb = jnp.dot(pw, seg.T, precision=hi,
-                 preferred_element_type=jnp.float32)
-    o_scr[:] = o_scr[:] * rb + pb * vseg
-    m_scr[:] = m_new
-
-    @pl.when(j == nl - 1)
-    def _finish():
-        sb = jnp.dot(s_scr[:], seg.T, precision=hi,
-                     preferred_element_type=jnp.float32)
-        att_ref[:] = o_scr[:] / sb
+    sls = []
+    vsegs = []
+    for lp in range(le):
+        kseg = ke_ref[:, lp * h:(lp + 1) * h].astype(jnp.float32)
+        vsegs.append(ve_ref[:, lp * h:(lp + 1) * h].astype(jnp.float32))
+        sls.append(_segdot(q * kseg, seg, passes) * inv_sqrt_dh)
+    m = sls[0]
+    for sl in sls[1:]:
+        m = jnp.maximum(m, sl)
+    pws = [jnp.exp(sl - m) for sl in sls]
+    s = pws[0]
+    for pw in pws[1:]:
+        s = s + pw
+    o = _segdot(pws[0], seg.T, passes) * vsegs[0]
+    for lp in range(1, le):
+        o = o + _segdot(pws[lp], seg.T, passes) * vsegs[lp]
+    sb = _segdot(s, seg.T, passes)
+    att_ref[:] = o / sb
 
 
-def pick_rtile(n: int, h: int, itemsize: int) -> int:
-    """Largest row block <= 512 dividing n with modest VMEM (see below)."""
-    cap = int(_os.environ.get("NAVC_CROSS_RTILE", "512"))
+def pick_rtile(n: int, le: int, h: int, itemsize: int) -> int:
+    """Largest row block <= 256 dividing n with modest VMEM (see below)."""
+    cap = int(_os.environ.get("NAVC_CROSS_RTILE", "256"))
     for r in range(min(n, cap), 7, -1):
         if n % r or r % 8:
             continue
-        # double-buffered q/ke/ve blocks + o scratch + output block
-        if r * h * (2 * (4 + 2 * itemsize) + 4 + 2 * 4) <= 12 * 1024 * 1024:
+        # double-buffered q/ke/ve blocks + registers + output block
+        if r * h * (2 * (4 + 2 * le * itemsize) + 3 * le * 4) \
+                <= 12 * 1024 * 1024:
             return r
     return 0
 
 
 def cross_attend_eligible(n: int, le: int, h: int) -> bool:
-    return h % 128 == 0 and pick_rtile(n, h, 2) >= 8
+    return h % 128 == 0 and pick_rtile(n, le, h, 2) >= 8
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "interpret"))
@@ -246,35 +287,30 @@ def cross_attend(q: jnp.ndarray, ke_rows: jnp.ndarray, ve_rows: jnp.ndarray,
     ~0.5 ms/step of MXU on the broadcast and serialized 64 tiny grid blocks
     (profiled 1.73 ms/step total vs a ~0.14 ms HBM bound). Expanding once
     per decode in HBM (bf16 in the production dtype — lossless casts of
-    dense() outputs) turns the step into a pure stream: grid (rows, le),
-    one (R, h) tile per enc position, online softmax in scratch.
+    dense() outputs) turns the step into a pure stream: a 1-D row grid,
+    each block holding the WHOLE per-row enc K/V, single-pass softmax.
     """
     n, h = q.shape
     le = ke_rows.shape[1] // h
-    r = pick_rtile(n, h, ke_rows.dtype.itemsize)
+    r = pick_rtile(n, le, h, ke_rows.dtype.itemsize)
     assert r and h % 128 == 0
     dh = h // nh
 
-    grid = (n // r, le)
+    grid = (n // r,)
     att = pl.pallas_call(
-        functools.partial(_cross_kernel, rows=r, h=h, nh=nh, dh=dh),
+        functools.partial(_cross_kernel, le=le, h=h, nh=nh, dh=dh),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((r, h), lambda i, j: (i, 0),
+            pl.BlockSpec((r, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, h), lambda i, j: (i, j),
+            pl.BlockSpec((r, le * h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, h), lambda i, j: (i, j),
+            pl.BlockSpec((r, le * h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r, h), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((r, h), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((r, nh), jnp.float32),
-            pltpu.VMEM((r, nh), jnp.float32),
-            pltpu.VMEM((r, h), jnp.float32),
-        ],
         name="cross_attend",
         interpret=interpret,
     )(q, ke_rows, ve_rows)

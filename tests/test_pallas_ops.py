@@ -433,10 +433,17 @@ def test_beam_attend_step_chained_carry(dtype):
         np.testing.assert_allclose(np.asarray(att), ref, rtol=2e-5, atol=2e-5)
 
 
-def test_cross_attend_interpret():
-    """Fused beam cross-attention == per-row einsum attention."""
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_cross_attend_interpret(dtype):
+    """Fused beam cross-attention == per-row einsum attention.
+
+    bfloat16 exercises the production K/V storage dtype (and the _segdot
+    split-pass trace); values are bf16-representable so the oracle is
+    unchanged.
+    """
     from navc_tpu.ops.beam_attend import cross_attend, cross_attend_eligible
 
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     b, k, le, nh, dh = 16, 5, 4, 2, 64
     h = nh * dh
     n = b * k
@@ -444,9 +451,12 @@ def test_cross_attend_interpret():
     rng = np.random.RandomState(9)
     q = jnp.asarray(rng.randn(n, h).astype(np.float32))
     ke = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
+    ke = ke.astype(dt).astype(jnp.float32)
     ve = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
-    att = cross_attend(q, jnp.repeat(ke, k, axis=0),
-                       jnp.repeat(ve, k, axis=0), nh=nh, interpret=True)
+    ve = ve.astype(dt).astype(jnp.float32)
+    att = cross_attend(q, jnp.repeat(ke, k, axis=0).astype(dt),
+                       jnp.repeat(ve, k, axis=0).astype(dt),
+                       nh=nh, interpret=True)
 
     qh = np.asarray(q).reshape(b, k, nh, dh)
     kh = np.asarray(ke).reshape(b, le, nh, dh)
