@@ -117,8 +117,13 @@ def main():
         # argmax tile sweep + the beam top-k kernel at its production shape
         # (N = B*beam rows at B=1024): picks the production (tn, tv)
         from navc_tpu.ops.vocab_fused import fused_project_topk
+        # beyond the round-4 winner (256, 2560): wider vocab tiles amortize
+        # the VPU epilogue further, and a whole-V tile (tv=10240 >= V) makes
+        # the grid 1-D over rows so the W block index is constant — Mosaic's
+        # revisiting-block optimization then streams W from HBM only once
         for tn, tv in ((512, 2048), (512, 2560), (256, 2560), (512, 1024),
-                       (1024, 2048)):
+                       (1024, 2048), (256, 5120), (128, 5120), (128, 2560),
+                       (256, 10240), (128, 10240), (64, 10240)):
             f = jax.jit(lambda x, tn=tn, tv=tv: fused_project_argmax(
                 x, w, bias=b, tn=tn, tv=tv, interpret=args.interpret))
             try:
