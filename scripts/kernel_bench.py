@@ -133,6 +133,23 @@ def main():
                     "tflops": round(flops / dt / 1e12, 1)}
             except Exception as e:
                 results["argmax_tn%d_tv%d" % (tn, tv)] = {"error": str(e)[:160]}
+        # teacher-rescoring gather kernel: same dense shape class as argmax
+        # (every canvas position of the rescoring forward), never swept —
+        # production default is (512, 2048)
+        from navc_tpu.ops.vocab_fused import fused_project_gather_prob
+        tgt = jnp.asarray(rng.randint(0, v, size=(n,)).astype(np.int32))
+        for tn, tv in ((512, 2048), (256, 2560), (128, 5120), (128, 10240),
+                       (64, 10240)):
+            f = jax.jit(lambda x, t, tn=tn, tv=tv: fused_project_gather_prob(
+                x, w, t, bias=b, tn=tn, tv=tv, interpret=args.interpret))
+            try:
+                dt = timeit(lambda: f(h, tgt), args.iters)
+                results["gatherp_tn%d_tv%d" % (tn, tv)] = {
+                    "ms": round(dt * 1e3, 3),
+                    "tflops": round(flops / dt / 1e12, 1)}
+            except Exception as e:
+                results["gatherp_tn%d_tv%d" % (tn, tv)] = {
+                    "error": str(e)[:160]}
         n5 = min(5120, n)
         h5 = h[:n5]
         fl5 = 2.0 * n5 * d * v
