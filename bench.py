@@ -241,6 +241,30 @@ def _maybe_stop_trace(trace_dir, result: dict):
     result["trace_dir"] = trace_dir
 
 
+def _record_arb_live(result: dict, batch_size: int, probe: bool,
+                     path: str = None):
+    """Record an ARB measurement into the canonical live artifact.
+
+    Probe runs (token dumps / non-default precision A/Bs) never touch the
+    artifact. The canonical protocol batch (1024) replaces it; larger
+    batches — which amortize the 29 sequential per-step kernel launches
+    over more rows — attach as a ``large_batch`` secondary inside the
+    canonical entry instead of replacing it.
+    """
+    path = path or os.path.join(HERE, "BENCH_LIVE_ARB.json")
+    if probe:
+        return
+    if batch_size == 1024:
+        result.pop("large_batch", None)
+        _write_json(path, result)
+    elif os.path.exists(path):
+        with open(path) as f:
+            live = json.load(f)
+        live["large_batch"] = {k: result[k] for k in
+                               ("metric", "value", "mfu", "timestamp")}
+        _write_json(path, live)
+
+
 def measure_arb(batch_size: int = 1024, profile: bool = False,
                 save_tokens: str = None, quiet: bool = False):
     """ARB beam-5 decode throughput with FLOP/MFU accounting (VERDICT r2 #5).
@@ -308,10 +332,8 @@ def measure_arb(batch_size: int = 1024, profile: bool = False,
         np.savez(save_tokens, tokens=np.asarray(hyp))
         result["tokens_out"] = save_tokens
     _maybe_stop_trace(trace_dir, result)
-    if not (save_tokens or (prec and prec != "highest")):
-        # probe runs (token dumps / non-default precision A/Bs) must not
-        # overwrite the canonical, parity-checked live artifact
-        _write_json(os.path.join(HERE, "BENCH_LIVE_ARB.json"), result)
+    _record_arb_live(result, batch_size,
+                     probe=bool(save_tokens or (prec and prec != "highest")))
     print(json.dumps(result), file=sys.stderr if quiet else sys.stdout)
     return result
 
