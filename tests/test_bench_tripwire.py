@@ -59,3 +59,39 @@ def test_tripwire_skips_unparseable_rounds(tmp_path, monkeypatch):
         json.dump({"parsed": {"value": None, "error": "stale"}}, f)
     # r03 carries no usable number -> fall back to r02
     assert bench.read_prev_round()["nacf"] == 100.0
+
+
+def test_record_arb_live_canonical_probe_and_large_batch(tmp_path):
+    bench = _load_bench()
+    p = str(tmp_path / "BENCH_LIVE_ARB.json")
+    can = {"metric": "ARB ... B=1024 ...", "value": 7357.0, "mfu": 0.1,
+           "timestamp": "t0"}
+
+    # canonical protocol batch replaces the artifact
+    bench._record_arb_live(dict(can), 1024, probe=False, path=p)
+    assert json.load(open(p)) == can
+
+    # probe runs (token dumps / precision A/Bs) never touch it
+    bench._record_arb_live({"metric": "x", "value": 1, "mfu": 0,
+                            "timestamp": "t"}, 1024, probe=True, path=p)
+    assert json.load(open(p)) == can
+
+    # a larger batch attaches as a secondary inside the canonical entry
+    big = {"metric": "ARB ... B=4096 ...", "value": 9000.0, "mfu": 0.13,
+           "timestamp": "t1", "tflops": 1.0}
+    bench._record_arb_live(dict(big), 4096, probe=False, path=p)
+    live = json.load(open(p))
+    assert live["value"] == 7357.0
+    assert live["large_batch"] == {"metric": big["metric"], "value": 9000.0,
+                                   "mfu": 0.13, "timestamp": "t1"}
+
+    # a fresh canonical run clears any stale large_batch
+    bench._record_arb_live(dict(can, value=7400.0, large_batch={"old": 1}),
+                           1024, probe=False, path=p)
+    live = json.load(open(p))
+    assert live["value"] == 7400.0 and "large_batch" not in live
+
+    # large batch with no canonical artifact on disk: no-op
+    os.remove(p)
+    bench._record_arb_live(dict(big), 4096, probe=False, path=p)
+    assert not os.path.exists(p)
