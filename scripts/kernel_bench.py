@@ -153,7 +153,8 @@ def main():
         n5 = min(5120, n)
         h5 = h[:n5]
         fl5 = 2.0 * n5 * d * v
-        for tn, tv in ((512, 2048), (512, 1024), (512, 512), (256, 2048)):
+        for tn, tv in ((512, 2048), (512, 1024), (512, 512), (256, 2048),
+                       (256, 2560), (128, 2560), (128, 5120)):
             f = jax.jit(lambda x, tn=tn, tv=tv: fused_project_topk(
                 x, w, 5, bias=b, tn=tn, tv=tv, interpret=args.interpret))
             try:
