@@ -257,7 +257,7 @@ def _record_arb_live(result: dict, batch_size: int, probe: bool,
     if batch_size == 1024:
         result.pop("large_batch", None)
         _write_json(path, result)
-    elif os.path.exists(path):
+    elif batch_size > 1024 and os.path.exists(path):
         with open(path) as f:
             live = json.load(f)
         live["large_batch"] = {k: result[k] for k in
@@ -333,7 +333,9 @@ def measure_arb(batch_size: int = 1024, profile: bool = False,
         result["tokens_out"] = save_tokens
     _maybe_stop_trace(trace_dir, result)
     _record_arb_live(result, batch_size,
-                     probe=bool(save_tokens or (prec and prec != "highest")))
+                     probe=bool(save_tokens or (prec and prec != "highest")
+                                or os.environ.get("NAVC_SEG_PASSES")
+                                not in (None, "2")))
     print(json.dumps(result), file=sys.stderr if quiet else sys.stdout)
     return result
 

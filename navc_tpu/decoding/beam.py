@@ -244,7 +244,11 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
                                    cross_attend_eligible)
 
     le = ke.shape[1]
-    fused_cross = cross_attend_eligible(n, le, h)
+    # the kernel stores K/V at the production cache dtype; eligibility must
+    # use the SAME itemsize its pick_rtile will see (in f32 parity mode the
+    # rows are f32 — hardcoding bf16 here could pass eligibility for a shape
+    # whose f32 pick_rtile then returns 0 and trips the kernel assert)
+    fused_cross = cross_attend_eligible(n, le, h, 4 if f32 else 2)
     if fused_cross:
         # row-expand the per-instance enc K/V ONCE per decode (kept in HBM,
         # streamed by the kernel every step). bf16 storage is lossless in

@@ -267,8 +267,9 @@ def pick_rtile(n: int, le: int, h: int, itemsize: int) -> int:
     return 0
 
 
-def cross_attend_eligible(n: int, le: int, h: int) -> bool:
-    return h % 128 == 0 and pick_rtile(n, le, h, 2) >= 8
+def cross_attend_eligible(n: int, le: int, h: int,
+                          itemsize: int = 2) -> bool:
+    return h % 128 == 0 and pick_rtile(n, le, h, itemsize) >= 8
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "interpret"))

@@ -118,22 +118,29 @@ def check_cross_attend():
     b, k, le, nh, dh = 64, 5, 16, 8, 64
     h = nh * dh
     n = b * k
-    assert cross_attend_eligible(n, le, h)
-    rng = np.random.RandomState(6)
-    q = jnp.asarray(rng.randn(n, h).astype(np.float32))
-    ke = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
-    ve = jnp.asarray(rng.randn(b, le * h).astype(np.float32))
-    att = cross_attend(q, jnp.repeat(ke, k, axis=0),
-                       jnp.repeat(ve, k, axis=0), nh=nh)
-    qh = np.asarray(q).reshape(b, k, nh, dh)
-    kh = np.asarray(ke).reshape(b, le, nh, dh)
-    vh = np.asarray(ve).reshape(b, le, nh, dh)
-    sc = np.einsum("bkhd,blhd->bkhl", qh, kh) / np.sqrt(dh)
-    pr = np.exp(sc - sc.max(-1, keepdims=True))
-    pr /= pr.sum(-1, keepdims=True)
-    ref = np.einsum("bkhl,blhd->bkhd", pr, vh).reshape(n, h)
-    np.testing.assert_allclose(np.asarray(att), ref, rtol=5e-5, atol=5e-5)
-    print("cross_attend: within 5e-5")
+    # f32 payload selects the exact passes=0 path; bf16 payload exercises
+    # the production NAVC_SEG_PASSES=2 hi/lo-split _segdot branch (bf16
+    # inputs are bf16-representable so the split error ~2^-18 relative sits
+    # well inside the 5e-4 tolerance)
+    for dt, tol in ((jnp.float32, 5e-5), (jnp.bfloat16, 5e-4)):
+        assert cross_attend_eligible(n, le, h, dt.dtype.itemsize)
+        rng = np.random.RandomState(6)
+        q = jnp.asarray(rng.randn(n, h).astype(np.float32))
+        ke = jnp.asarray(rng.randn(b, le * h).astype(np.float32)).astype(
+            dt).astype(jnp.float32)
+        ve = jnp.asarray(rng.randn(b, le * h).astype(np.float32)).astype(
+            dt).astype(jnp.float32)
+        att = cross_attend(q, jnp.repeat(ke.astype(dt), k, axis=0),
+                           jnp.repeat(ve.astype(dt), k, axis=0), nh=nh)
+        qh = np.asarray(q).reshape(b, k, nh, dh)
+        kh = np.asarray(ke).reshape(b, le, nh, dh)
+        vh = np.asarray(ve).reshape(b, le, nh, dh)
+        sc = np.einsum("bkhd,blhd->bkhl", qh, kh) / np.sqrt(dh)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr /= pr.sum(-1, keepdims=True)
+        ref = np.einsum("bkhl,blhd->bkhd", pr, vh).reshape(n, h)
+        np.testing.assert_allclose(np.asarray(att), ref, rtol=tol, atol=tol)
+        print(f"cross_attend {dt.__name__}: within {tol}")
 
 
 if __name__ == "__main__":
