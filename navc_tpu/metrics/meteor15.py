@@ -442,7 +442,10 @@ def default_scorer() -> Meteor15:
     """Singleton exercising all four METEOR stages on the live path:
     exact + stem (always), synonyms (WordNet when installed, else the
     vendored ``data/synonym-en.tsv``), phrase-level paraphrases
-    (``data/paraphrase-en.tsv``), and content/function weighting
+    (``data/paraphrase-en-expanded.tsv`` — the deterministic programmatic
+    expansion from scripts/make_meteor_tables.py; ``NAVC_METEOR_TABLE=
+    curated`` selects the 169-line hand-curated core instead, for the
+    table-size sensitivity A/B), and content/function weighting
     (``data/function-words-en.txt``)."""
     global _DEFAULT
     if _DEFAULT is None:
@@ -453,9 +456,13 @@ def default_scorer() -> Meteor15:
             load_wordnet_synonyms()
         if syn is None:
             syn = load_synonyms_tsv(_data_path("synonym-en.tsv"))
+        table = "paraphrase-en.tsv"
+        if os.environ.get("NAVC_METEOR_TABLE", "expanded") != "curated" \
+                and os.path.exists(_data_path("paraphrase-en-expanded.tsv")):
+            table = "paraphrase-en-expanded.tsv"
         _DEFAULT = Meteor15(
             synonyms=syn,
-            paraphrases=load_paraphrases_tsv(_data_path("paraphrase-en.tsv")),
+            paraphrases=load_paraphrases_tsv(_data_path(table)),
             function_words=load_function_words(
                 _data_path("function-words-en.txt")))
     return _DEFAULT

@@ -1,28 +1,37 @@
-"""Regression-sensitive flagship quality campaign (VERDICT r3 #1).
+"""Regression-sensitive flagship quality campaign, v3 (VERDICT r4 #1+#4).
 
-Round 3's flagship corpus saturated (CIDEr ~9.9/10 for every method), so a
-silent quality bug in CT gating or teacher rescoring would pass. This
-campaign runs the reference's full two-stage protocol (README.md:150-181) on
-the HARD synthetic corpus (data/synthetic.py::make_hard_synthetic —
-paraphrase-multimodal references, compositional confusable features, Zipf
-modifier noise, distractor captions) at flagship scale (d=512, vocab 10048,
-MSRVTT --default presets), trains ALL FOUR methods, and evaluates the decode
-ablations the method family is designed around
-(reference decoding/algorithms.py:136-141, 175-204, 271-272):
+Round 4's campaign on corpus v2 left the paper's headline ordering
+(NACF >= NAB) unreproduced and diagnosed-but-unmeasured: the latent-(s,v,o)
+corpus carried almost no POS-aligned feature signal for the visual-word
+pass to learn, and 12% of distractor captions corrupted the very (s,v,o)
+tokens that supervise it. v3 closes both holes and makes the whole table
+statistically honest:
 
-  * NACF vs NAB            (visual words + CT should win)
-  * use_ct on/off          (coarse-grained templates)
-  * final teacher rescoring on/off   (no_candidate_decision)
-  * intermediate teacher gating on   (masking_decision)
+  * corpus v3 (data/synthetic.py::make_hard_synthetic role_features=True,
+    modifier_distractors=True): the motion stream embeds the VERB latent,
+    the image stream the SUBJECT+OBJECT latents, and distractors corrupt
+    only modifier-level tokens — visual-word supervision (reference
+    models/Decoder.py:206-210, dataloader.py:383-425) is faithful to the
+    features by construction;
+  * a visual-word-pass probe (measure_vw_accuracy) turns "the corpus has
+    vw signal" into numbers: masked-slot accuracy of the CT first pass
+    (all-<vis> canvas at GT length, reference algorithms.py:136-141) on
+    demanded-POS tokens, exact and synonym-set (concept) level, per role,
+    against a train-majority baseline — run on both NACF (trained with the
+    vw pass) and NAB (not) checkpoints;
+  * NACF and NAB are retrained at EVERY --seeds entry against the fixed
+    seed-0 ARB teacher, and the FULL decode-ablation table (default /
+    no_ct / no_rescore / mask_decision; reference algorithms.py:136-141,
+    175-204, 271-272) runs per seed, so every ordering boolean is derived
+    from a mean +/- std over seeds instead of a single draw.
 
-plus oracle / majority-baseline calibration scores so every number has an
-interpretable ceiling and floor. Writes FLAGSHIP_E2E.json (v2 schema with
-an "ablations" table and "ordering" booleans).
+Writes FLAGSHIP_E2E.json (v3 schema: per-seed ablations with mean/std,
+visual_word_probe, ordering-by-mean booleans, calibration floors/ceilings).
 
-    python scripts/flagship_quality.py [--epochs 20] [--videos 768]
+    python scripts/flagship_quality.py --epochs 30 --seeds 0 1 2 3 4
 
-Afterwards: python bench.py --ckpt <student> --tckpt <teacher> re-attaches
-the trained-checkpoint perf number.
+The script is resume-friendly: checkpoints that already exist are not
+retrained, and the report is flushed to --out.partial after every unit.
 """
 
 import argparse
@@ -98,23 +107,163 @@ def clean(res):
             if isinstance(v, (int, float))}
 
 
+def measure_vw_accuracy(ckpt: str, corpus, feats, meta, batch: int = 256):
+    """Masked-slot accuracy of the visual-word (CT first) pass.
+
+    Runs the checkpoint's decoder over an all-``<vis>`` canvas at each test
+    caption's GT length — exactly the coarse-grained-template first pass
+    (reference decoding/algorithms.py:136-141) — and scores the argmax at
+    demanded-POS slots (reference dataloader.py:383-425 target construction:
+    POS in cfg.demand, word not in IGNORED_VISUAL_WORDS):
+
+      * ``exact``: predicted token == GT token;
+      * ``concept``: predicted token in the GT concept's synonym-form set
+        (the corpus realizes each (s,v,o) slot as one of 2-3 surface forms,
+        so concept-level is the ceiling a features-only pass can hit);
+      * per-role breakdown (s/v/o/p) — with corpus-v3 role features, verbs
+        must come from the motion stream and subjects/objects from the
+        image stream;
+      * train-majority baselines (predict the most frequent demanded train
+        token everywhere) as the no-signal floor.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from navc_tpu import constants as C
+    from navc_tpu.data.dataset import VideoDataset
+    from navc_tpu.runtime.checkpoint import load_model_and_config
+    from navc_tpu.runtime.train_step import make_encode_fn
+
+    model, variables, cfg, _ = load_model_and_config(ckpt)
+    info = corpus["info"]
+    itow, itop = info["itow"], info["itop"]
+    demand = set(cfg.demand)
+
+    def is_demanded(wid, tag):
+        return (itop.get(tag) in demand
+                and itow[wid] not in C.IGNORED_VISUAL_WORDS)
+
+    # word -> (role, concept); concept -> synonym-form set
+    concept_of, forms_of = {}, {}
+    for role, tables in (("s", meta["subj_forms"]), ("v", meta["verb_forms"]),
+                         ("o", meta["obj_forms"]), ("p", meta["place_forms"])):
+        for ci, forms in enumerate(tables):
+            forms_of[(role, ci)] = set(forms)
+            for w in forms:
+                concept_of[w] = (role, ci)
+
+    # train-majority baseline over demanded slots
+    counts = Counter()
+    for v in info["split"]["train"]:
+        vid = "video%d" % v
+        for cap, tags in zip(corpus["captions"][vid], corpus["pos_tags"][vid]):
+            for wid, t in zip(cap[1:-1], tags[1:-1]):
+                if is_demanded(wid, t):
+                    counts[wid] += 1
+    maj_word = counts.most_common(1)[0][0]
+
+    # eval-mode (center-sampled) features, one row per test video
+    ds = VideoDataset(cfg, "test", info_corpus=corpus, in_memory_feats=feats)
+    items = [ds[i] for i in range(len(ds))]
+    vid_row = {it["video_ids"]: i for i, it in enumerate(items)}
+    fb = [jnp.asarray(np.stack([it["feats_%s" % ch] for it in items]))
+          for ch in cfg.modality.lower()]
+    encode = make_encode_fn(cfg, model)
+    enc = encode(variables["params"], variables.get("batch_stats", {}), fb)
+    enc_np = np.asarray(enc["enc_output"], np.float32)
+
+    rows = []  # (vid, words, tags)
+    for v in info["split"]["test"]:
+        vid = "video%d" % v
+        for cap, tags in zip(corpus["captions"][vid], corpus["pos_tags"][vid]):
+            rows.append((vid, cap[1:-1], tags[1:-1]))
+
+    L = cfg.max_len
+
+    @jax.jit
+    def fwd(tokens, enc_rows, cats):
+        out = model.apply(variables, tokens, enc_rows, cats, "NARFormer",
+                          True, method=lambda m, *a: m.decode_logprobs(*a))
+        return jnp.argmax(out[0], axis=-1).astype(jnp.int32)
+
+    preds = []
+    for off in range(0, len(rows), batch):
+        chunk = rows[off:off + batch]
+        pad = batch - len(chunk)
+        tok = np.zeros((batch, L), np.int32)
+        erows = np.zeros((batch,) + enc_np.shape[1:], np.float32)
+        cats = np.zeros((batch, 1), np.int32)
+        for i, (vid, words, _) in enumerate(chunk):
+            tok[i, :len(words)] = C.VIS
+            erows[i] = enc_np[vid_row[vid]]
+            cats[i, 0] = items[vid_row[vid]]["category"][0]
+        if pad:
+            erows[len(chunk):] = enc_np[0]
+        preds.append(np.asarray(fwd(jnp.asarray(tok), jnp.asarray(erows),
+                                    jnp.asarray(cats)))[:len(chunk)])
+    preds = np.concatenate(preds, axis=0)
+
+    tot = Counter()
+    per_role = defaultdict(Counter)
+    for (vid, words, tags), pred in zip(rows, preds):
+        for i, (wid, t) in enumerate(zip(words, tags)):
+            if not is_demanded(wid, t):
+                continue
+            rc = concept_of.get(wid)
+            role = rc[0] if rc else "?"
+            p = int(pred[i])
+            hit_exact = p == wid
+            hit_concept = bool(rc) and p in forms_of[rc]
+            for bucket in (tot, per_role[role]):
+                bucket["n"] += 1
+                bucket["exact"] += int(hit_exact)
+                bucket["concept"] += int(hit_concept)
+                bucket["maj_exact"] += int(maj_word == wid)
+                bucket["maj_concept"] += int(
+                    bool(rc) and maj_word in forms_of[rc])
+
+    def summarize(c):
+        n = max(1, c["n"])
+        return {"n_slots": int(c["n"]),
+                "exact": round(c["exact"] / n, 4),
+                "concept": round(c["concept"] / n, 4),
+                "majority_exact": round(c["maj_exact"] / n, 4),
+                "majority_concept": round(c["maj_concept"] / n, 4)}
+
+    out = summarize(tot)
+    out["per_role"] = {r: summarize(c) for r, c in sorted(per_role.items())}
+    out["majority_word"] = itow[maj_word]
+    return out
+
+
+ABLATION_SPECS = (
+    # (name, student, extra argv) — reference decode-mechanism toggles
+    ("NACF_default", "NACF", ["--use_ct"]),
+    ("NACF_no_ct", "NACF", []),
+    ("NACF_no_rescore", "NACF", ["--use_ct", "--no_candidate_decision"]),
+    ("NACF_mask_decision", "NACF", ["--use_ct", "--masking_decision"]),
+    ("NAB_default", "NAB", []),
+    ("NAB_no_rescore", "NAB", ["--no_candidate_decision"]),
+    ("NAB_mask_decision", "NAB", ["--masking_decision"]),
+)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--videos", type=int, default=768)
     ap.add_argument("--classes", type=int, default=128)
     ap.add_argument("--caps", type=int, default=4)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seeds", nargs="+", type=int, default=[0],
+                    help="train NACF+NAB at each seed (seed 0 also trains "
+                         "ARB teacher + ARB2) and run the full ablation "
+                         "table per seed; ordering booleans use seed means")
+    ap.add_argument("--corpus", choices=["v2", "v3"], default="v3",
+                    help="v3 = role-keyed modality features + modifier-only "
+                         "distractors (VERDICT r4 #1); v2 = round-4 corpus")
     ap.add_argument("--methods", nargs="+",
                     default=["ARB", "ARB2", "NAB", "NACF"])
-    ap.add_argument("--skip-train", action="store_true",
-                    help="reuse existing checkpoints; rerun ablations only")
-    ap.add_argument("--seed-sweep", nargs="+", type=int, default=None,
-                    help="train NACF+NAB at these extra seeds (same corpus, "
-                         "same seed-0 ARB teacher), decode the default "
-                         "ablation for each, and append a seed_sweep section "
-                         "with per-seed CIDEr and the by-mean ordering to an "
-                         "existing FLAGSHIP_E2E.json")
     ap.add_argument("--small", action="store_true",
                     help="toy dims + small corpus: CPU smoke of the whole "
                          "campaign (script validation, not evidence)")
@@ -143,11 +292,14 @@ def main():
     from navc_tpu.config import default_config
     from navc_tpu.data.synthetic import make_hard_synthetic
 
+    if args.corpus == "v3":
+        gen_kw.update(role_features=True, modifier_distractors=True)
     gen_cfg = default_config("NACF", dataset="MSRVTT", vocab_size=vocab,
                              n_frames=8, n_total_frames=16)
-    corpus, refs, feats = make_hard_synthetic(
+    corpus, refs, feats, meta = make_hard_synthetic(
         gen_cfg, n_videos=args.videos, n_classes=args.classes,
-        vocab_size=vocab, n_caps=args.caps, n_total_frames=16, **gen_kw)
+        vocab_size=vocab, n_caps=args.caps, n_total_frames=16,
+        return_meta=True, **gen_kw)
     data_dir = os.path.join(args.workdir, "data")
     write_dataset(gen_cfg, corpus, refs, feats, data_dir)
     oracle, majority = calibration_scores(corpus, refs, args.videos,
@@ -161,7 +313,7 @@ def main():
 
     ckpt_root = os.path.join(args.workdir, "experiments")
     common = [
-        "--dataset", "MSRVTT", "--default", "--scope", "flagship",
+        "--dataset", "MSRVTT", "--default",
         "--base_data_path", data_dir,
         "--base_checkpoint_path", ckpt_root,
         "--batch_size", str(args.batch),
@@ -173,162 +325,188 @@ def main():
 
     report = {
         "protocol": ("reference two-stage pipeline (README.md:150-181) at "
-                     "flagship scale on the HARD synthetic corpus "
+                     "flagship scale on the HARD synthetic corpus %s "
                      "(%d videos, %d latent (s,v,o) classes, %d paraphrase "
-                     "captions/video, Zipf modifiers, 12%% distractors): "
-                     "d=512, vocab=10048, MSRVTT --default presets; all four "
-                     "methods trained via cli/train.py, decode ablations via "
-                     "cli/translate.py (reference algorithms.py:136-141, "
-                     "175-204, 271-272)"
-                     % (args.videos, args.classes, args.caps)),
+                     "captions/video, Zipf modifiers, 12%% %s distractors"
+                     "%s): d=512, vocab=10048, MSRVTT --default presets; "
+                     "NACF/NAB retrained per seed vs the fixed seed-0 ARB "
+                     "teacher, full decode-ablation table per seed "
+                     "(reference algorithms.py:136-141, 175-204, 271-272)"
+                     % (args.corpus, args.videos, args.classes, args.caps,
+                        "modifier-level" if args.corpus == "v3" else "slot-swap",
+                        ", role-keyed modality features (motion=verb, "
+                        "image=subject+object)" if args.corpus == "v3" else "")),
         "epochs": args.epochs,
         "batch_size": args.batch,
+        "seeds": args.seeds,
         "calibration": {"oracle_test": oracle, "majority_test": majority},
         "methods": {},
     }
+    # resume: merge training histories / finished ablations from a prior
+    # interrupted run so skipped (already-trained) units keep their records
+    for prev_path in (args.out + ".partial",):
+        if os.path.exists(prev_path):
+            try:
+                with open(prev_path) as f:
+                    prev = json.load(f)
+            except ValueError:
+                continue
+            if prev.get("protocol") == report["protocol"]:
+                report["methods"].update(prev.get("methods", {}))
+                if "ablations" in prev:
+                    report["ablations"] = prev["ablations"]
+                if "sweep_wall_s" in prev:
+                    report["sweep_wall_s"] = prev["sweep_wall_s"]
 
-    if args.seed_sweep:
-        # ---- ordering-by-mean over seeds (VERDICT r3 #1 follow-up) --------
-        # The single-seed default-decode NACF/NAB gap (~1%) is within seed
-        # noise; this trains the two students at extra seeds against the
-        # FIXED seed-0 ARB teacher and reports per-seed default-decode CIDEr.
-        with open(args.out) as f:
-            report = json.load(f)
-        teacher = os.path.join(ckpt_root, "MSRVTT", "ARB", "flagship",
-                               "best.ckpt")
-        nar_common = ["--dataset", "MSRVTT", "--evaluation_mode", "test",
-                      "--batch_size", str(args.batch),
-                      "--beam_alpha", "1.35", "--iterations", "5",
-                      "--length_beam_size", "6", "--paradigm", "mp",
-                      "--teacher_path", teacher]
-        sweep = report.setdefault("seed_sweep", {
-            "protocol": ("NACF/NAB retrained at extra seeds on the same "
-                         "corpus vs the fixed seed-0 ARB teacher; default "
-                         "decode (CT for NACF, final rescoring on)"),
-            "default_CIDEr": {
-                "NACF": {"0": report["ablations"]["NACF_default"]["CIDEr"]},
-                "NAB": {"0": report["ablations"]["NAB_default"]["CIDEr"]},
-            },
-        })
-        for seed in args.seed_sweep:
-            for student in ("NACF", "NAB"):
-                scope = "flagship_s%d" % seed
-                ck = os.path.join(ckpt_root, "MSRVTT", student, scope,
-                                  "best.ckpt")
-                if not os.path.exists(ck):
-                    # --default force-derives teacher_path from the scope
-                    # (parity with reference opts.py:201-207), so expose the
-                    # FIXED seed-0 ARB teacher at the derived per-seed path —
-                    # the sweep varies only the student
-                    tdir = os.path.join(ckpt_root, "MSRVTT", "ARB", scope)
-                    os.makedirs(tdir, exist_ok=True)
-                    tlink = os.path.join(tdir, "best.ckpt")
-                    if not os.path.exists(tlink):
-                        os.symlink(teacher, tlink)
-                    print("[quality] seed %d training %s ..." % (seed, student),
-                          file=sys.stderr)
-                    train_main([a if a != "flagship" else scope
-                                for a in common]
-                               + ["--method", student, "--seed", str(seed)])
-                ct = ["--use_ct"] if student == "NACF" else []
-                res = translate_main(["--model_path", ck] + nar_common + ct)
-                sweep["default_CIDEr"][student][str(seed)] = float(
-                    res["test"]["CIDEr"])
-                with open(args.out, "w") as f:
-                    json.dump(report, f, indent=1)
-                    f.write("\n")
-        means = {m: float(np.mean(list(v.values())))
-                 for m, v in sweep["default_CIDEr"].items()}
-        sweep["mean_CIDEr"] = {m: round(v, 4) for m, v in means.items()}
-        sweep["nacf_ge_nab_by_mean"] = bool(means["NACF"] >= means["NAB"])
-        report["ordering"]["nacf_ge_nab_by_seed_mean"] = \
-            sweep["nacf_ge_nab_by_mean"]
-        with open(args.out, "w") as f:
+    def flush(partial=True):
+        with open(args.out + (".partial" if partial else ""), "w") as f:
             json.dump(report, f, indent=1)
             f.write("\n")
-        print(json.dumps(sweep, indent=1))
-        return
 
+    def scope(seed):
+        return "flagship" if seed == 0 else "flagship_s%d" % seed
+
+    def ckpt(method, seed=0):
+        return os.path.join(ckpt_root, "MSRVTT", method, scope(seed),
+                            "best.ckpt")
+
+    # ---- stage 1: seed-0 training of all four methods --------------------
     for method in args.methods:
-        if args.skip_train:
-            break
+        if os.path.exists(ckpt(method, 0)):
+            print("[quality] %s seed0 exists, skipping" % method,
+                  file=sys.stderr)
+            continue
         t0 = time.time()
-        print("[quality] training %s ..." % method, file=sys.stderr)
-        out = train_main(common + ["--method", method])
+        print("[quality] training %s (seed 0) ..." % method, file=sys.stderr)
+        out = train_main(common + ["--scope", "flagship", "--method", method])
         report["methods"][method] = {
             "history": [{k: float(v) for k, v in h.items()
-                         if isinstance(v, (int, float))} for h in out["history"]],
+                         if isinstance(v, (int, float))}
+                        for h in out["history"]],
             "test_res": clean(out.get("test_res")),
             "wall_s": round(time.time() - t0, 1),
         }
-        with open(args.out + ".partial", "w") as f:
-            json.dump(report, f, indent=1)
+        flush()
 
-    # ---- decode ablations on the trained checkpoints ---------------------
-    def ckpt(method):
-        return os.path.join(ckpt_root, "MSRVTT", method, "flagship", "best.ckpt")
+    # ---- stage 2: per-seed student retrains (fixed seed-0 teacher) -------
+    teacher = ckpt("ARB", 0)
+    for seed in args.seeds:
+        if seed == 0:
+            continue
+        # --default derives teacher_path from the scope (reference
+        # opts.py:201-207); expose the FIXED seed-0 teacher at the derived
+        # per-seed path — the sweep varies only the student
+        tdir = os.path.dirname(ckpt("ARB", seed))
+        os.makedirs(tdir, exist_ok=True)
+        if not os.path.exists(ckpt("ARB", seed)):
+            os.symlink(teacher, ckpt("ARB", seed))
+        for student in ("NACF", "NAB"):
+            if os.path.exists(ckpt(student, seed)):
+                continue
+            t0 = time.time()
+            print("[quality] training %s (seed %d) ..." % (student, seed),
+                  file=sys.stderr)
+            train_main(common + ["--scope", scope(seed), "--method", student,
+                                 "--seed", str(seed)])
+            report.setdefault("sweep_wall_s", {})["%s_s%d" % (student, seed)] \
+                = round(time.time() - t0, 1)
+            flush()
 
-    teacher = ckpt("ARB")
+    # ---- stage 3: visual-word-pass probe (VERDICT r4 #1 instrumentation) -
+    report["visual_word_probe"] = {
+        "protocol": ("CT-first-pass argmax on an all-<vis> canvas at GT "
+                     "length over the test split; accuracy at demanded-POS "
+                     "slots, exact + synonym-set (concept) level, per role "
+                     "(s/v/o/p), vs the train-majority baseline. NAB never "
+                     "trains the vw pass — its number is the no-vw-training "
+                     "contrast."),
+    }
+    for student in ("NACF", "NAB"):
+        per_seed = {}
+        for seed in args.seeds:
+            if os.path.exists(ckpt(student, seed)):
+                per_seed[str(seed)] = measure_vw_accuracy(
+                    ckpt(student, seed), corpus, feats, meta)
+        report["visual_word_probe"][student] = per_seed
+        if per_seed:
+            report["visual_word_probe"]["%s_mean_concept" % student] = round(
+                float(np.mean([p["concept"] for p in per_seed.values()])), 4)
+        flush()
+    print("[quality] vw probe:",
+          json.dumps({k: v for k, v in report["visual_word_probe"].items()
+                      if k.endswith("mean_concept")}), file=sys.stderr)
+
+    # ---- stage 4: full ablation table per seed ----------------------------
     nar_common = ["--dataset", "MSRVTT", "--evaluation_mode", "test",
                   "--batch_size", str(args.batch),
                   "--beam_alpha", "1.35", "--iterations", "5",
                   "--length_beam_size", "6", "--paradigm", "mp",
                   "--teacher_path", teacher]
-    ablations = {}
-    specs = []
-    for student in ("NACF", "NAB"):
-        if not os.path.exists(ckpt(student)):
-            continue
-        base = ["--model_path", ckpt(student)] + nar_common
-        ct = ["--use_ct"] if student == "NACF" else []
-        # default decode: CT (NACF only) + final teacher rescoring
-        specs.append(("%s_default" % student, base + ct))
-        if student == "NACF":
-            specs.append(("NACF_no_ct", base))                     # CT off
-        specs.append(("%s_no_rescore" % student,
-                      base + ct + ["--no_candidate_decision"]))    # final off
-        specs.append(("%s_mask_decision" % student,
-                      base + ct + ["--masking_decision"]))         # interm. on
-    for name, argv in specs:
-        t0 = time.time()
-        print("[quality] ablation %s ..." % name, file=sys.stderr)
-        res = translate_main(argv)
-        ablations[name] = clean(res["test"])
-        ablations[name]["wall_s"] = round(time.time() - t0, 1)
-        with open(args.out + ".partial", "w") as f:
-            json.dump(dict(report, ablations=ablations), f, indent=1)
-    report["ablations"] = ablations
+    ablations = report.setdefault("ablations", {})
+    for name, student, extra in ABLATION_SPECS:
+        entry = ablations.setdefault(name, {"per_seed": {}})
+        for seed in args.seeds:
+            if str(seed) in entry["per_seed"]:
+                continue
+            if not os.path.exists(ckpt(student, seed)):
+                continue
+            t0 = time.time()
+            print("[quality] ablation %s seed %d ..." % (name, seed),
+                  file=sys.stderr)
+            res = translate_main(["--model_path", ckpt(student, seed)]
+                                 + nar_common + extra)
+            entry["per_seed"][str(seed)] = clean(res["test"])
+            entry["per_seed"][str(seed)]["wall_s"] = round(time.time() - t0, 1)
+            flush()
+        ciders = [v["CIDEr"] for v in entry["per_seed"].values()]
+        if ciders:
+            entry["CIDEr_mean"] = round(float(np.mean(ciders)), 4)
+            entry["CIDEr_std"] = round(float(np.std(ciders)), 4)
+            # seed-0 full metrics kept; headline field for quick reads
+            entry["CIDEr"] = entry["CIDEr_mean"]
+    flush()
 
-    def cider(name):
-        return ablations.get(name, {}).get("CIDEr", float("nan"))
+    # ---- stage 5: ordering booleans from seed means -----------------------
+    def mean_cider(name):
+        return ablations.get(name, {}).get("CIDEr_mean", float("nan"))
 
     report["ordering"] = {
-        "nacf_ge_nab": bool(cider("NACF_default") >= cider("NAB_default")),
-        "ct_helps": bool(cider("NACF_default") >= cider("NACF_no_ct")),
+        "nacf_ge_nab": bool(
+            mean_cider("NACF_default") >= mean_cider("NAB_default")),
+        "nacf_ge_nab_by_seed_mean": bool(
+            mean_cider("NACF_default") >= mean_cider("NAB_default")),
+        "ct_helps": bool(
+            mean_cider("NACF_default") >= mean_cider("NACF_no_ct")),
         "rescoring_helps_nacf": bool(
-            cider("NACF_default") >= cider("NACF_no_rescore")),
+            mean_cider("NACF_default") >= mean_cider("NACF_no_rescore")),
         "rescoring_helps_nab": bool(
-            cider("NAB_default") >= cider("NAB_no_rescore")),
+            mean_cider("NAB_default") >= mean_cider("NAB_no_rescore")),
+        "n_seeds": len(args.seeds),
+        "per_seed_nacf_ge_nab": {
+            str(s): bool(
+                ablations["NACF_default"]["per_seed"][str(s)]["CIDEr"]
+                >= ablations["NAB_default"]["per_seed"][str(s)]["CIDEr"])
+            for s in args.seeds
+            if str(s) in ablations.get("NACF_default", {}).get("per_seed", {})
+            and str(s) in ablations.get("NAB_default", {}).get("per_seed", {})},
     }
-    report["checkpoints"] = {
-        "teacher": teacher,
-        "student": ckpt("NACF"),
-    }
+    report["checkpoints"] = {"teacher": teacher, "student": ckpt("NACF", 0)}
     report["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
     import jax
     report["device"] = str(jax.devices()[0].device_kind)
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
-        f.write("\n")
+    flush(partial=False)
     if os.path.exists(args.out + ".partial"):
         os.remove(args.out + ".partial")
     print(json.dumps({
         "oracle_CIDEr": round(oracle["CIDEr"], 3),
         "majority_CIDEr": round(majority["CIDEr"], 3),
-        "test_CIDEr": {m: round(r["test_res"].get("CIDEr", float("nan")), 3)
-                       for m, r in report["methods"].items()},
-        "ablations_CIDEr": {k: round(v.get("CIDEr", float("nan")), 3)
-                            for k, v in ablations.items()},
+        "ablations_CIDEr": {
+            k: "%.3f+/-%.3f" % (v.get("CIDEr_mean", float("nan")),
+                                v.get("CIDEr_std", float("nan")))
+            for k, v in ablations.items()},
+        "vw_probe_concept": {
+            s: report["visual_word_probe"].get("%s_mean_concept" % s)
+            for s in ("NACF", "NAB")},
         "ordering": report["ordering"],
     }, indent=1))
 

@@ -7,6 +7,7 @@ from-scratch implementations must reproduce them.
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -364,3 +365,60 @@ def test_default_scorer_bare_env_gate(monkeypatch):
     assert s.synonyms is None and not s.para_phrases
     # exact+stem still work; synonym pair no longer matches
     assert s.sentence("man", ["guy"]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Expanded paraphrase table (VERDICT r4 #5): programmatic derivation,
+# live-path loading, and table-size sensitivity.
+# ---------------------------------------------------------------------------
+
+
+def test_expanded_table_matches_generator():
+    """The committed expanded table must be exactly what the generator
+    emits (deterministic regeneration contract)."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "scripts/make_meteor_tables.py", "--check"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_expanded_table_on_live_path(monkeypatch):
+    import navc_tpu.metrics.meteor15 as m
+    monkeypatch.setattr(m, "_DEFAULT", None)
+    s = m.default_scorer()
+    # far beyond the 169-line curated core
+    assert len(s.para_phrases) > 5000
+    # suppletive verb family bridged (Porter cannot): went <-> goes
+    assert s.sentence("the man went home", ["the man goes home"]) > \
+        s.sentence("the man went home", ["the man sees home"])
+    # progressive <-> finite multi-word bridge: "is running" <-> "runs"
+    hi = s.sentence("a dog is running", ["a dog runs"])
+    lo = s.sentence("a dog is running", ["a dog barks"])
+    assert hi > lo
+    # NAVC_METEOR_TABLE=curated selects the hand-curated core
+    monkeypatch.setenv("NAVC_METEOR_TABLE", "curated")
+    monkeypatch.setattr(m, "_DEFAULT", None)
+    s2 = m.default_scorer()
+    assert len(s2.para_phrases) < 1000
+
+
+def test_meteor_table_sensitivity_ordering():
+    """bare <= curated <= expanded on equivalence pairs; identical on
+    unrelated controls (precision) — the committed METEOR_TABLE_AB.json
+    protocol in miniature."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from meteor_table_ab import CONTROL, EQUIVALENT, build_scorer, score_pairs
+    eq, ctl = {}, {}
+    for level in ("bare", "curated", "expanded"):
+        sc = build_scorer(level)
+        eq[level] = score_pairs(sc, EQUIVALENT[:12])
+        ctl[level] = score_pairs(sc, CONTROL[:6])
+    assert eq["bare"] <= eq["curated"] <= eq["expanded"]
+    assert eq["expanded"] > eq["curated"]  # the expansion must buy recall
+    assert ctl["bare"] == ctl["curated"] == ctl["expanded"]  # no inflation

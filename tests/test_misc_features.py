@@ -385,6 +385,71 @@ def test_flagship_synthetic_schema():
         assert arr.shape == (16, getattr(cfg, "dim_%s" % ch))
 
 
+def test_hard_synthetic_v3_roles_and_distractors():
+    """Corpus v3 (VERDICT r4 #1): role-keyed modality features must make the
+    motion stream a function of the VERB latent only, and modifier-level
+    distractors must never corrupt the (s,v,o) content words that supervise
+    the visual-word pass (reference dataloader.py:383-425)."""
+    import numpy as np
+
+    from navc_tpu.config import default_config
+    from navc_tpu.data.synthetic import make_hard_synthetic
+
+    cfg = default_config("NACF", dataset="MSRVTT", vocab_size=800,
+                         n_frames=4, n_total_frames=6)
+    n_videos, n_classes = 48, 12
+    corpus, refs, feats, meta = make_hard_synthetic(
+        cfg, n_videos=n_videos, n_classes=n_classes, vocab_size=800,
+        n_caps=4, n_total_frames=6, adj_pool=60, adv_pool=30,
+        distractor_p=0.5,  # high rate so corruption WOULD show
+        role_features=True, modifier_distractors=True, return_meta=True)
+
+    # every caption keeps one surface form of each of its class's s/v/o
+    for v in range(n_videos):
+        s, vb, o = meta["classes"][meta["video_class"][v]]
+        for cap in corpus["captions"]["video%d" % v]:
+            words = set(cap[1:-1])
+            assert words & set(meta["subj_forms"][s])
+            assert words & set(meta["verb_forms"][vb])
+            assert words & set(meta["obj_forms"][o])
+
+    # motion ('m') centers depend on the verb latent only: same-verb videos
+    # sit far closer than different-verb videos regardless of s/o
+    fm = feats["feats_m"]
+    centers = {v: fm["video%d" % v].mean(0) for v in range(n_videos)}
+    same, diff = [], []
+    for a in range(n_videos):
+        for b in range(a + 1, n_videos):
+            ca = meta["classes"][meta["video_class"][a]]
+            cb = meta["classes"][meta["video_class"][b]]
+            d = float(np.linalg.norm(centers[a] - centers[b]))
+            (same if ca[1] == cb[1] else diff).append(d)
+    assert same and diff
+    assert np.mean(same) < 0.5 * np.mean(diff)
+
+    # image ('i') centers depend on subject+object: same-(s,o) pairs closer
+    fi = feats["feats_i"]
+    centers_i = {v: fi["video%d" % v].mean(0) for v in range(n_videos)}
+    same_i, diff_i = [], []
+    for a in range(n_videos):
+        for b in range(a + 1, n_videos):
+            ca = meta["classes"][meta["video_class"][a]]
+            cb = meta["classes"][meta["video_class"][b]]
+            d = float(np.linalg.norm(centers_i[a] - centers_i[b]))
+            if (ca[0], ca[2]) == (cb[0], cb[2]):
+                same_i.append(d)
+            elif ca[0] != cb[0] and ca[2] != cb[2]:
+                diff_i.append(d)
+    if same_i:  # only when two classes share (s, o)
+        assert np.mean(same_i) < 0.5 * np.mean(diff_i)
+
+    # v2 default path is untouched: no meta, slot-swap distractors intact
+    c2, r2, f2 = make_hard_synthetic(
+        cfg, n_videos=12, n_classes=4, vocab_size=800, n_caps=2,
+        n_total_frames=6, adj_pool=60, adv_pool=30)
+    assert set(c2["info"]) == set(corpus["info"])
+
+
 def test_kbest_state_roundtrip(tmp_path):
     """Resume must not reset the relative-Sum normalizers / early-stop
     counter: a reset queue scores the first post-resume epoch Sum=1.0 and
