@@ -256,6 +256,13 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
         cdt = jnp.float32 if f32 else jnp.bfloat16
         ke_rows = jnp.repeat(ke.reshape(b, le * h).astype(cdt), k, axis=0)
         ve_rows = jnp.repeat(ve.reshape(b, le * h).astype(cdt), k, axis=0)
+        # pin the expanded buffers in HBM: without the barrier XLA sinks the
+        # (cheap-looking) broadcast+reshape INTO the decode while_loop and
+        # re-materializes 2 x (N, le*h) EVERY step — profiled at ~975 us of
+        # the 3,582 us step at B=1024 (27%; ARB_DECOMP r5). Keeping them
+        # live across the loop trades ~2 x 84 MB of HBM residency for the
+        # per-step rewrite traffic.
+        ke_rows, ve_rows = jax.lax.optimization_barrier((ke_rows, ve_rows))
 
     def step_fused(seqs_flat, kc2, vc2, prev_k, t):
         """Fused variant: caches are flat (N, L*h); the beam-ancestry
@@ -371,10 +378,18 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             # keep the one-pass lse arithmetic (the kernel's online-softmax
             # normalizer can differ by ~1 ulp — a per-row constant, see
             # ops/vocab_fused.py fused_project_topk)
+            # N cap: XLA's scoped-vmem pass may place the kernel's (N, k)
+            # outputs in VMEM with lanes padded 5 -> 128 (T(8,128) tiling);
+            # at N = 40960 (B=8192) that is a 2 x 21 MB stack allocation and
+            # Mosaic lowering dies with a vmem OOM. 20480 (B=4096) is the
+            # largest measured-good N; beyond it the XLA top-k path (raw
+            # logits + lax.top_k) decodes identically, just without the
+            # fused epilogue.
             use_topk_kernel = (
                 cfg.use_pallas
                 and on_device
                 and fused_vocab_eligible(cfg)
+                and b * k <= 20480
                 and not os.environ.get("NAVC_NO_TOPK_KERNEL"))
             cached_step = _make_cached_step(cfg, model, variables,
                                             enc_output, cat_tiled, k,

@@ -39,6 +39,10 @@ sys.path.insert(0, HERE)
 
 # v5e HBM: 16 GB @ ~819 GB/s per chip (public spec); override for other gens
 HBM_GBPS = float(os.environ.get("NAVC_TPU_HBM_GBPS", "819"))
+# v5e VPU: 8x128 f32 lanes x 8 sublanes @ ~0.94 GHz ~= 3.8e12 elem-ops/s
+# (derived estimate, not a published spec; used only for the argmax-epilogue
+# floor below — override to recalibrate)
+VPU_EOPS = float(os.environ.get("NAVC_TPU_VPU_EOPS", "3.8e12"))
 
 KERNEL_LANES = {
     "fused_layer_qsub": "fused_layer_qsub (sparse refinement forwards)",
@@ -150,6 +154,68 @@ def run_model(cfg, n_enc: int, b: int):
     }
 
 
+def argmax_shape_table(events, cfg, n_decodes: int, batch: int):
+    """Per-call-shape accounting of the vocab_argmax kernel (VERDICT r4 #3).
+
+    The kernel-bench sweep (KERNEL_BENCH.json) times ONE shape
+    (N=49152 rows); the real decode calls the kernel at a DIFFERENT N per
+    iteration — dense forwards at canvas_rows * L_pad and sparse refinement
+    forwards at canvas_rows * q_t. This table, keyed by the N parsed from
+    each trace instance's HLO result shape, shows where the kernel actually
+    spends its time and what each shape's own roofline is:
+
+      * mxu_ns_row: 2*d*v_pad flops/row at 197 bf16 TFLOP/s x0.95;
+      * wstream_ns_row: the (d, v_pad) bf16 weight re-streamed once per
+        tn-row tile (production tn=256, tv=2560 — ops/vocab_fused.py:79);
+      * vpu_ns_row: the online-softmax epilogue, ~8 elementwise passes over
+        v_pad f32 lanes per row (max, compare/select argmax, exp, sum,
+        online merges) at VPU_EOPS.
+
+    bound_ns_row = max of the three — if measured ns/row sits at the bound
+    the kernel is at its floor for that shape and further tile chasing is
+    rejected; if not, the gap is the target.
+    """
+    d = cfg.dim_hidden
+    v_pad = _round_up(cfg.vocab_size, 2560)
+    tn = 256
+    mxu_ns = 2.0 * d * v_pad / (197e12 * 0.95) * 1e9
+    wstream_ns = (d * v_pad * 2.0 / tn) / (HBM_GBPS * 1e9) * 1e9
+    vpu_ns = 8.0 * v_pad / VPU_EOPS * 1e9
+    bound = max(mxu_ns, wstream_ns, vpu_ns)
+
+    per = collections.defaultdict(lambda: [0.0, 0])
+    shape_re = re.compile(r"=\s*\(?[a-z0-9]+\[(\d+)")
+    for ev in events:
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        if "vocab_argmax" not in ev.get("name", ""):
+            continue
+        m = shape_re.search(ev.get("args", {}).get("long_name", ""))
+        rows = int(m.group(1)) if m else -1
+        acc = per[rows]
+        acc[0] += ev["dur"]
+        acc[1] += 1
+    table = {}
+    for rows, (us, cnt) in sorted(per.items(), key=lambda kv: -kv[1][0]):
+        ns_row = us * 1e3 / (cnt * rows) if rows > 0 else None
+        table["N=%d" % rows] = {
+            "calls_per_decode": round(cnt / n_decodes, 2),
+            "us_per_caption": round(us / n_decodes / batch, 2),
+            "ns_per_row": round(ns_row, 1) if ns_row else None,
+            "pct_of_shape_bound": round(100.0 * bound / ns_row, 1)
+            if ns_row else None,
+        }
+    return {
+        "bounds_ns_per_row": {
+            "mxu": round(mxu_ns, 1),
+            "w_restream_tn%d" % tn: round(wstream_ns, 1),
+            "vpu_epilogue": round(vpu_ns, 1),
+            "bound(max)": round(bound, 1),
+        },
+        "per_shape": table,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8192)
@@ -250,6 +316,8 @@ def main():
         "model_per_caption": dict(model,
                                   mxu_gflops=round(flops_caption / 1e9, 2)),
         "device_lanes_us_per_caption": lane_table,
+        "vocab_argmax_by_shape": argmax_shape_table(
+            events, cfg, n_decodes, args.batch),
         "trace_dir": trace_dir,
         "timestamp": result.get("timestamp"),
     }

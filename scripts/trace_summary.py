@@ -85,7 +85,7 @@ def module_spans(events):
     return total, n
 
 
-def self_times(events, lane_substr="XLA Ops"):
+def self_times(events, lane_substr="XLA Ops", keyfn=None):
     """Exclusive (self) device time per op group, from op lanes only.
 
     The device exposes two parallel lanes per pid — 'XLA Modules' (one
@@ -95,6 +95,12 @@ def self_times(events, lane_substr="XLA Ops"):
     whose thread name matches ``lane_substr`` are read, and within a lane a
     stack sweep over start-sorted events charges each op only the time not
     covered by its direct children. Returns (by_op_self_us, n_op).
+
+    ``keyfn(ev) -> hashable`` overrides the default grouping (op name with
+    instance suffixes collapsed); decomposition scripts pass a classifier
+    that reads ``ev["args"]["long_name"]`` (full HLO with operand shapes),
+    which separates e.g. the vocab-projection matmul fusions from optimizer
+    element-wise fusions that share the generic ``fusion.N`` name.
     """
     pid_names, tid_names = meta_names(events)
 
@@ -109,22 +115,23 @@ def self_times(events, lane_substr="XLA Ops"):
     n_op = collections.Counter()
 
     def close(frame):
-        end, name, dur, child = frame
-        g = group_name(name)
+        end, g, dur, child = frame
         by_op[g] += max(0.0, dur - child[0])
         n_op[g] += 1
 
     for evs in tracks.values():
         # start-ascending; ties: longest first so parents precede children
         evs.sort(key=lambda e: (e["ts"], -e["dur"]))
-        stack = []  # frames: [end_ts, name, dur, [child_dur_sum]]
+        stack = []  # frames: [end_ts, key, dur, [child_dur_sum]]
         for ev in evs:
             ts, dur = ev["ts"], ev["dur"]
             while stack and stack[-1][0] <= ts:
                 close(stack.pop())
             if stack:  # nested: charge my span to the parent's child sum
                 stack[-1][3][0] += dur
-            stack.append((ts + dur, ev.get("name", "?"), dur, [0.0]))
+            key = (keyfn(ev) if keyfn is not None
+                   else group_name(ev.get("name", "?")))
+            stack.append((ts + dur, key, dur, [0.0]))
         while stack:
             close(stack.pop())
     return by_op, n_op
