@@ -348,7 +348,11 @@ def measure_arb(batch_size: int = 1024, profile: bool = False,
     _record_arb_live(result, batch_size,
                      probe=bool(save_tokens or (prec and prec != "highest")
                                 or os.environ.get("NAVC_SEG_PASSES")
-                                not in (None, "2")))
+                                not in (None, "2")
+                                or os.environ.get("NAVC_BEAM_GROUP")
+                                not in (None, "16")
+                                or os.environ.get("NAVC_CROSS_RTILE")
+                                not in (None, "256")))
     print(json.dumps(result), file=sys.stderr if quiet else sys.stdout)
     return result
 

@@ -49,31 +49,37 @@ class BeamState(NamedTuple):
 def _append_finished(state: BeamState, eligible: jnp.ndarray,
                      scores: jnp.ndarray, seqs: jnp.ndarray,
                      t: int, capacity_limit: int) -> BeamState:
-    """Append eligible (B, K) slots in beam order up to per-row capacity."""
+    """Append eligible (B, K) slots in beam order up to per-row capacity.
+
+    Formulated as one-hot select/reduce instead of scatter: 2-D scatters
+    lower to the TPU scalar core and the previous concat + .at[].set
+    version cost ~150 us/step of serialized bookkeeping fusions at
+    B=1024 (ARB_DECOMP r5). Each accepted (row, beam) lands in a distinct
+    slot (fin_count + rank among accepted, beam order preserved —
+    Beam.py:95-99), so the masked sum over the beam axis recovers every
+    written value exactly; slots >= capacity simply match nothing.
+    """
     b, k = eligible.shape
     f = state.fin_scores.shape[1]
     rank = jnp.cumsum(eligible.astype(jnp.int32), axis=1) - 1  # order among eligible
     capacity = capacity_limit - state.fin_count  # (B,)
     accept = eligible & (rank < capacity[:, None])
-    slot = jnp.where(accept, state.fin_count[:, None] + rank, f)  # f = dump slot
+    slot = jnp.where(accept, state.fin_count[:, None] + rank, f)  # f = no-op
 
-    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, k))
-    fin_scores = jnp.concatenate([state.fin_scores, jnp.zeros((b, 1))], axis=1)
-    fin_lens = jnp.concatenate([state.fin_lens, jnp.zeros((b, 1), jnp.int32)], axis=1)
-    fin_seqs = jnp.concatenate(
-        [state.fin_seqs, jnp.zeros((b, 1, state.fin_seqs.shape[-1]), jnp.int32)], axis=1)
+    onehot = (slot[:, :, None] == jnp.arange(f)[None, None, :])  # (B, K, F)
+    written = jnp.any(onehot, axis=1)  # (B, F)
+    upd_scores = jnp.sum(jnp.where(onehot, scores[:, :, None], 0.0), axis=1)
+    upd_seqs = jnp.sum(
+        jnp.where(onehot[:, :, :, None], seqs[:, :, None, :], 0), axis=1)
 
-    fin_scores = fin_scores.at[rows, slot].set(
-        jnp.where(accept, scores, fin_scores[rows, slot]))
-    fin_lens = fin_lens.at[rows, slot].set(
-        jnp.where(accept, t, fin_lens[rows, slot]))
-    fin_seqs = fin_seqs.at[rows, slot].set(
-        jnp.where(accept[..., None], seqs, fin_seqs[rows, slot]))
+    fin_scores = jnp.where(written, upd_scores, state.fin_scores)
+    fin_lens = jnp.where(written, t, state.fin_lens)
+    fin_seqs = jnp.where(written[:, :, None], upd_seqs, state.fin_seqs)
 
     new_count = state.fin_count + accept.sum(axis=1)
     return state._replace(
-        fin_seqs=fin_seqs[:, :f], fin_scores=fin_scores[:, :f],
-        fin_lens=fin_lens[:, :f], fin_count=new_count)
+        fin_seqs=fin_seqs, fin_scores=fin_scores,
+        fin_lens=fin_lens, fin_count=new_count)
 
 
 def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
@@ -200,8 +206,10 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
             return h_t
         return model.apply(variables, h_t, method=lambda m, hh: m.project(hh))
 
-    def embed_qkv(seqs_flat, t):
-        tok = jax.lax.dynamic_slice_in_dim(seqs_flat, t - 1, 1, axis=1)[:, 0]
+    def embed_qkv(seqs_flat, tok, t):
+        # tok (N,) = token at position t-1, carried by the decode loop (the
+        # previous step's selected words) — a dynamic_slice + gather of the
+        # (N, L) buffer here cost ~80 us/step of scalar-core time at B=1024
         pos = jax.lax.dynamic_slice_in_dim(pos_table, t - 1, 1, axis=0)[0]
         emb = word_table[tok] + pos[None, :]
         if cfg.with_category and cat_tiled is not None:
@@ -211,13 +219,14 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
         qkv = dense(x, w_qkv, b_qkv)
         return x, npm, qkv
 
-    def step(seqs_flat, kcache, vcache, t):
-        """(seqs (N, L), caches (N, L, nh, dh), t) -> (out, updated caches)
-        where ``out`` is RAW projection logits (N, V) — callers apply their
-        own log_softmax arithmetic — or hidden states (N, H) when built with
-        return_hidden=True (the fused top-k kernel projects in-kernel).
-        Computes the forward for position t-1."""
-        x, npm, qkv = embed_qkv(seqs_flat, t)
+    def step(seqs_flat, tok, kcache, vcache, t):
+        """(seqs (N, L), tok (N,), caches (N, L, nh, dh), t) ->
+        (out, updated caches) where ``out`` is RAW projection logits (N, V)
+        — callers apply their own log_softmax arithmetic — or hidden states
+        (N, H) when built with return_hidden=True (the fused top-k kernel
+        projects in-kernel). Computes the forward for position t-1, whose
+        input token ``tok`` the loop carries."""
+        x, npm, qkv = embed_qkv(seqs_flat, tok, t)
         q = qkv[:, :h].reshape(n, nh, dh)
         kt = qkv[:, h:2 * h].reshape(n, nh, dh)
         vt = qkv[:, 2 * h:].reshape(n, nh, dh)
@@ -264,13 +273,13 @@ def _make_cached_step(cfg: Config, model, variables, enc, cat_tiled, k: int,
         # per-step rewrite traffic.
         ke_rows, ve_rows = jax.lax.optimization_barrier((ke_rows, ve_rows))
 
-    def step_fused(seqs_flat, kc2, vc2, prev_k, t):
+    def step_fused(seqs_flat, tok, kc2, vc2, prev_k, t):
         """Fused variant: caches are flat (N, L*h); the beam-ancestry
         permute from the PREVIOUS selection is applied lazily inside the
         kernel (ops/beam_attend.py) together with the append and the
         attention — the caches never pass through an XLA op, so the carry
         keeps the kernel's row-major layout (no transpose copies)."""
-        x, npm, qkv = embed_qkv(seqs_flat, t)
+        x, npm, qkv = embed_qkv(seqs_flat, tok, t)
         q = qkv[:, :h]
         kt = qkv[:, h:2 * h]
         vt = qkv[:, 2 * h:]
@@ -416,12 +425,14 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             done=jnp.zeros((b,), bool),
         )
 
-        def step(state: BeamState, kc, vc, pk, t):
-            # previous token of every beam (same gather for both paths)
-            last = jnp.take_along_axis(
-                state.seqs,
-                jnp.full((b, k, 1), 1, jnp.int32) * (t - 1),
-                axis=2)[..., 0]
+        def step(state: BeamState, last, kc, vc, pk, t):
+            # ``last`` (B, K) = token at position t-1 of every beam, carried
+            # by the loop (= the previous step's selected words after the
+            # ancestry reorder; BOS at t=1). The previous formulation
+            # re-gathered it from the (B, K, L) buffer every step — a
+            # scalar-core gather worth ~80 us/step at B=1024. Rows of done
+            # instances carry stale values, which never escape: every
+            # consumer below is masked by ``active``.
             if use_cache:
                 # Candidate-only normalization: top-k per beam runs on RAW
                 # logits (log_softmax subtracts per-row scalars, so indices
@@ -432,12 +443,14 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
                 # beam*V always lies inside the per-beam top-k sets, with
                 # flattened tie order preserved (beam-major, vocab-ascending
                 # within a beam), so selection is token-identical.
+                tok = last.reshape(b * k)
                 if use_fused_attend:
                     out, kc, vc = cached_step(
-                        state.seqs.reshape(b * k, max_len), kc, vc, pk, t)
+                        state.seqs.reshape(b * k, max_len), tok, kc, vc,
+                        pk, t)
                 else:
                     out, kc, vc = cached_step(
-                        state.seqs.reshape(b * k, max_len), kc, vc, t)
+                        state.seqs.reshape(b * k, max_len), tok, kc, vc, t)
                 if use_topk_kernel:
                     wp_k, ids_k = fused_project_topk(out, w_proj, k,
                                                      bias=b_proj)
@@ -531,7 +544,7 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             st = jax.lax.cond(t == max_len - 1, do_fallback, lambda s: s, st)
 
             st = st._replace(done=st.done | newly_done)
-            return st, kc, vc, pk
+            return st, next_word, kc, vc, pk
 
         # while_loop instead of a fixed scan: stops as soon as every instance
         # has collected its hypotheses — typical captions finish in ~1/3 of
@@ -539,13 +552,13 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
         # the reference's fixed token loop (Translator.py:148-157 exits via
         # the same all-done condition but recomputes full prefixes serially)
         def cond(carry):
-            st, kc, vc, pk, t = carry
+            st, last, kc, vc, pk, t = carry
             return (t < max_len) & ~jnp.all(st.done)
 
         def body(carry):
-            st, kc, vc, pk, t = carry
-            st, kc, vc, pk = step(st, kc, vc, pk, t)
-            return st, kc, vc, pk, t + 1
+            st, last, kc, vc, pk, t = carry
+            st, last, kc, vc, pk = step(st, last, kc, vc, pk, t)
+            return st, last, kc, vc, pk, t + 1
 
         if use_cache:
             # bf16 storage in the production dtype is LOSSLESS: the cached
@@ -569,8 +582,9 @@ def make_ar_generator(cfg: Config, model, jit: bool = True):
             kc0 = jnp.zeros((), jnp.float32)
             vc0 = jnp.zeros((), jnp.float32)
             pk0 = jnp.zeros((), jnp.int32)
-        state, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (state, kc0, vc0, pk0, jnp.asarray(1)))
+        last0 = jnp.full((b, k), C.BOS, jnp.int32)  # seqs[:, :, 0]
+        state, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (state, last0, kc0, vc0, pk0, jnp.asarray(1)))
 
         # --- sort_finished (Beam.py:123-130) ------------------------------
         valid = jnp.arange(specific)[None, :] < state.fin_count[:, None]

@@ -29,7 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_GROUP = 16  # instances per block; R = _GROUP * k rows (multiple of 16)
+# instances per block; R = _GROUP * k rows (multiple of 16). Larger groups
+# mean fewer, bigger grid blocks in beam_attend_step (better DMA utilization,
+# less per-block fixed cost) at the price of a bigger one-hot permute matmul
+# (R x R) and more VMEM; env-tunable for on-device sweeps.
+_GROUP = int(__import__("os").environ.get("NAVC_BEAM_GROUP", "16"))
 
 
 def _pick_tm(m: int, r: int, itemsize: int) -> int:
