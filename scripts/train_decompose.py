@@ -50,7 +50,7 @@ MXU_TFLOPS = 197e12 * 0.95  # bf16 peak x achievable
 
 def make_classifier(v: int, d: int):
     """Lane classifier over trace events (name + HLO long_name shapes)."""
-    res_v = re.compile(r"^%?\S+ = \S*\[(\d+,)*%d\]" % v)
+    res_v = re.compile(r"^%%?\S+ = \S*\[(\d+,)*%d\]" % v)
     any_v = re.compile(r"\[[0-9,]*\b%d\b[0-9,]*\]" % v)
     wgrad = re.compile(r"= \S*\[(%d,%d|%d,%d)\]" % (d, v, v, d))
 
