@@ -81,16 +81,18 @@ def main():
     from navc_tpu.ops.vocab_fused import fused_project_argmax
 
     n, d, v = args.rows, 512, 10048
-    rng = np.random.RandomState(0)
-    h = jnp.asarray(rng.randn(n, d).astype(np.float32) * 0.05)
-    w = jnp.asarray(rng.randn(d, v).astype(np.float32) * 0.05)
-    b = jnp.asarray(rng.randn(v).astype(np.float32) * 0.01)
+    # generate ON DEVICE: at production row counts (the dense NACF argmax
+    # call runs N = 49152 * 32 = 1.57M rows) host-side generation would ship
+    # ~3 GB through the ~10 MB/s tunnel
+    key = jax.random.PRNGKey(0)
+    kh, kw, kb, kt = jax.random.split(key, 4)
+    h = jax.random.normal(kh, (n, d), jnp.float32) * 0.05
+    w = jax.random.normal(kw, (d, v), jnp.float32) * 0.05
+    b = jax.random.normal(kb, (v,), jnp.float32) * 0.01
     hb = h.astype(jnp.bfloat16)
     wb = w.astype(jnp.bfloat16)
-    h8 = jnp.asarray(
-        np.clip(np.round(np.asarray(h) * 256), -127, 127).astype(np.int8))
-    w8 = jnp.asarray(
-        np.clip(np.round(np.asarray(w) * 256), -127, 127).astype(np.int8))
+    h8 = jnp.clip(jnp.round(h * 256), -127, 127).astype(jnp.int8)
+    w8 = jnp.clip(jnp.round(w * 256), -127, 127).astype(jnp.int8)
 
     flops = 2.0 * n * d * v
     results = {}
@@ -151,7 +153,7 @@ def main():
         # (every canvas position of the rescoring forward), never swept —
         # production default is (512, 2048)
         from navc_tpu.ops.vocab_fused import fused_project_gather_prob
-        tgt = jnp.asarray(rng.randint(0, v, size=(n,)).astype(np.int32))
+        tgt = jax.random.randint(kt, (n,), 0, v, jnp.int32)
         for tn, tv in ((512, 2048), (256, 2560), (128, 5120), (128, 10240),
                        (64, 10240)):
             f = jax.jit(lambda x, t, tn=tn, tv=tv: fused_project_gather_prob(
