@@ -132,7 +132,14 @@ def main():
                     help="skip the live run; decompose an existing capture "
                          "(pairs with the freshest BENCH_LIVE_ARB.json)")
     ap.add_argument("--out", default=os.path.join(ROOT, "ARB_DECOMP.json"))
+    ap.add_argument("--sweep", nargs="*", type=int, default=None,
+                    metavar="B", help="also measure (unprofiled) decode "
+                    "throughput at these batch sizes and record a "
+                    "batch_sweep section (default when flag given bare: "
+                    "4096 8192)")
     args = ap.parse_args()
+    if args.sweep == []:
+        args.sweep = [4096, 8192]
 
     import bench
     from trace_summary import find_trace, load_events, module_spans, self_times
@@ -230,6 +237,20 @@ def main():
         "trace_dir": trace_dir,
         "timestamp": result.get("timestamp"),
     }
+    if args.sweep:
+        # batch scaling (VERDICT r4 #6/weak-6): whether the canonical B=1024
+        # point is dispatch/batch-starved or per-step-device bound
+        sweep = {str(args.batch): {k: result.get(k) for k in
+                                   ("value", "pipelined_value", "mfu")}}
+        for bsz in args.sweep:
+            r = bench.measure_arb(batch_size=bsz, quiet=True)
+            sweep[str(bsz)] = {k: r.get(k) for k in
+                               ("value", "pipelined_value", "mfu")}
+            if bsz * 5 > 20480:
+                sweep[str(bsz)]["note"] = ("fused top-k ineligible at "
+                                           "N=%d (scoped-vmem OOM); XLA "
+                                           "lax.top_k fallback" % (bsz * 5))
+        out["batch_sweep"] = sweep
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
