@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="also sweep (tn, tv) tiles for argmax and the "
                          "beam top-k kernel at its production row count")
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default KERNEL_BENCH.json; pass "
+                         "e.g. KERNEL_BENCH_PRODN.json for the "
+                         "production-row-count sweep)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test: interpret-mode kernel, tiny shapes")
     args = ap.parse_args()
@@ -208,9 +212,12 @@ def main():
         out["rejected"] = rejected
     print(json.dumps(out))
     if not args.interpret:  # CPU smoke numbers must not shadow a live capture
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "..", "KERNEL_BENCH.json"), "w") as f:
+        path = args.out or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "KERNEL_BENCH.json")
+        with open(path, "w") as f:
             json.dump(out, f, indent=2)
+            f.write("\n")
     return 0
 
 
