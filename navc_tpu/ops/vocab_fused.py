@@ -76,7 +76,7 @@ def _kernel(h_ref, w_ref, *refs, tv: int, has_bias: bool):
 @functools.partial(jax.jit, static_argnames=("tn", "tv", "interpret"))
 def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
                          bias: Optional[jnp.ndarray] = None,
-                         tn: int = 256, tv: int = 2560,
+                         tn: int = 128, tv: int = 10240,
                          interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """argmax ids + max softmax prob of h @ w (+ bias) without logits in HBM.
@@ -86,10 +86,15 @@ def fused_project_argmax(h: jnp.ndarray, w: jnp.ndarray,
     the transposed embedding table WITH a bias. Returns (ids (N,) int32,
     max_prob (N,) float32). Matmul runs in bf16 with f32 accumulation.
 
-    Default tiles (tn=256, tv=2560) are the live-TPU sweep winner at the
-    flagship dense CT/completion shape, 49152x512x10048 (KERNEL_BENCH.json:
-    6.18 ms vs 9.22 ms for the old 512x2048; tv=2560 with tn=512 spills
-    VMEM and collapses to ~54 ms — resweep before touching these).
+    Default tiles (tn=128, tv=10240) are the round-5 live-TPU sweep winner
+    at the flagship dense CT/completion shape, 49152x512x10048
+    (KERNEL_BENCH.json: 4.73 ms, 107 TFLOP/s — at the raw bf16-dot rate, so
+    the argmax epilogue is fully hidden). tv >= V makes the vocab grid
+    one step: the (d, tv) W block index is constant across row steps, so
+    Mosaic streams W from HBM once per call instead of once per row tile,
+    and the online-softmax accumulator never crosses tiles. tn=1024 and
+    non-whole-V wide tiles spill or crash Mosaic (see `rejected` section) —
+    resweep before touching these.
     """
     n, d = h.shape
     d2, v = w.shape
@@ -185,13 +190,16 @@ def _gather_kernel(h_ref, w_ref, tgt_ref, *refs, tv: int, has_bias: bool):
 def fused_project_gather_prob(h: jnp.ndarray, w: jnp.ndarray,
                               targets: jnp.ndarray,
                               bias: Optional[jnp.ndarray] = None,
-                              tn: int = 512, tv: int = 2048,
+                              tn: int = 128, tv: int = 10240,
                               interpret: bool = False) -> jnp.ndarray:
     """softmax(h @ w (+ bias))[i, targets[i]] without materializing logits.
 
     The AR-teacher rescoring gather (reference algorithms.py:196-200).
     h: (N, D); w: (D, V); targets: (N,) int32; bias: optional (V,) f32
     (tied projection). Returns (N,) f32 probs.
+
+    Default tiles (128, 10240): whole-V W-resident, round-5 sweep winner
+    (KERNEL_BENCH.json gatherp_tn128_tv10240 4.83 ms at 49152x512x10048).
     """
     n, d = h.shape
     v = w.shape[1]

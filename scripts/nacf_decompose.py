@@ -82,10 +82,11 @@ def run_model(cfg, n_enc: int, b: int):
     CT completion, sparse-width q_t = max(1, floor(L*(1-t/T))) after — plus
     one dense causal AR-teacher forward; each = fused BertLayer + fused
     vocab kernel (argmax for the student, gather-prob for the teacher).
-    Vocab weights are re-streamed per row tile (DESIGN.md §2: the W-resident
-    and V-outer formulations are measured rejections); layer weights ride
-    constant-index BlockSpecs (DMA'd once per call); cross K/V are hoisted
-    (computed once from unique rows, read back per forward).
+    Vocab weights stream from HBM once per kernel call (round-5 whole-V
+    tiles, tv >= V: the W block index is constant across the 1-D row grid —
+    this is NOT the rejected V-outer grid reordering, DESIGN.md §2); layer
+    weights ride constant-index BlockSpecs (DMA'd once per call); cross K/V
+    are hoisted (computed once from unique rows, read back per forward).
     """
     from navc_tpu.ops.eligibility import fused_sparse_eligible
 
@@ -106,13 +107,15 @@ def run_model(cfg, n_enc: int, b: int):
             widths.append(L_pad)     # dense step (CT completion)
 
     layer_w_bytes = (4 * d * d + 2 * d * d + 2 * d * ffn) * 2  # qkvo+crossqo+ffn
-    v_pad_arg = _round_up(v, 2560)   # argmax tile winner (vocab_fused.py)
-    v_pad_gp = _round_up(v, 2048)    # gather-prob tiles
+    # round-5 tiles: both vocab kernels run whole-V (tn=128, tv=10240 >= V,
+    # vocab_fused.py defaults) — the W block index is constant across the
+    # 1-D row grid, so Mosaic streams W from HBM ONCE per kernel call
+    v_pad_arg = _round_up(v, 10240)
+    v_pad_gp = _round_up(v, 10240)
 
     def fwd_bytes(q, tn, v_pad, argmax=True):
         n_rows = rows * q                             # flattened token rows
-        row_tiles = math.ceil(n_rows / tn)
-        vocab_w = row_tiles * d * v_pad * 2           # W re-stream / row tile
+        vocab_w = d * v_pad * 2                       # W streamed once/call
         vocab_h = n_rows * d * 2                      # hidden into the kernel
         acts = n_rows * d * 2 * 2                     # layer in + out (bf16)
         enc_kv = rows * n_enc * d * 2 * 2             # hoisted K+V read back
