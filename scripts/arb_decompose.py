@@ -171,9 +171,13 @@ def main():
         lane_ops[lane][op] += dur
 
     total_op_us = sum(by_op.values())
-    # the trace covers warmup-free timed iterations only (trace starts after
-    # the 3 warmup decodes); measure_arb runs 10 iterations of `steps` steps
-    iters = 10
+    # the trace covers warmup-free timed decodes only (trace starts after the
+    # 3 warmup decodes) but includes BOTH timed loops of measure_arb — 10
+    # sequential + 10 pipelined. Normalize by the module envelope count (one
+    # per executed decode program), not the per-loop iteration constant: the
+    # r5 pipelined loop doubled the traced decodes and an assumed 10 inflated
+    # every per-step number 2x.
+    iters = n_modules if n_modules else 10
 
     from navc_tpu.config import default_config
     cfg = default_config("ARB", dataset="MSRVTT", vocab_size=10048,
@@ -345,6 +349,13 @@ def main():
                                            "N=%d (scoped-vmem OOM); XLA "
                                            "lax.top_k fallback" % (bsz * 5))
         out["batch_sweep"] = sweep
+    elif args.no_run and os.path.exists(args.out):
+        # a --no-run re-decompose must not silently drop the previous run's
+        # live batch sweep — carry it over
+        with open(args.out) as f:
+            prev = json.load(f)
+        if "batch_sweep" in prev:
+            out["batch_sweep"] = prev["batch_sweep"]
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
