@@ -125,3 +125,24 @@ def fused_vocab_eligible(cfg: Config) -> bool:
     operand — see ops.vocab_fused.projection_weights.
     """
     return cfg.use_pallas
+
+
+def fused_vocab_ce_eligible(cfg: Config) -> bool:
+    """Can the train step fuse the vocab projection + cross-entropy
+    (ops/vocab_ce) instead of materializing (B, L, V) logits for
+    runtime.crit?
+
+    The kernel is whole-V W-resident (W (D, V) bf16 + its transpose + the
+    f32 wgrad accumulator all live in VMEM through the backward), so gate on
+    the caption-vocab scale the framework targets: D*V_pad must keep the
+    backward's resident set (~4 copies of W-sized tiles, dominated by the
+    f32 accumulator) within VMEM. At the reference scale (D=512, V≈10k)
+    that is ~45 MB. ``NAVC_NO_FUSED_CE`` env disables it (A/B kill-switch).
+    """
+    import os
+    v_pad = (cfg.vocab_size + 127) // 128 * 128
+    # 4 bytes f32 accumulator + 2x bf16 W copies + score tiles headroom
+    resident = cfg.dim_hidden * v_pad * 8 + 512 * v_pad * 16
+    return (cfg.use_pallas
+            and resident <= 96 * 1024 * 1024
+            and not os.environ.get("NAVC_NO_FUSED_CE"))

@@ -135,11 +135,17 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
     # seq2seq return_logits=True): normalize only at the gathered label
     # positions instead of materializing the (B, L, V) log-softmax — the
     # arithmetic matches jax.nn.log_softmax exactly ((x - max) - lse, same
-    # op order), and argmax is invariant to the per-row shift.
+    # op order), and argmax is invariant to the per-row shift. The fused
+    # projection+CE kernel path (ops/vocab_ce) goes one step further and
+    # hands over the per-row (label log-prob, argmax) pairs directly
+    # ('tgt_word_rowstats') — same quantities, computed in-kernel.
+    from_rowstats = "tgt_word_rowstats" in results
     from_logits = "tgt_word_logits" in results
-    logprob_sets: Sequence[jnp.ndarray] = (
-        results["tgt_word_logits"] if from_logits
-        else results["tgt_word_logprobs"])
+    if from_rowstats:
+        logprob_sets: Sequence[jnp.ndarray] = results["tgt_word_rowstats"]
+    else:
+        logprob_sets = (results["tgt_word_logits"] if from_logits
+                        else results["tgt_word_logprobs"])
     label_sets: Sequence[jnp.ndarray] = results["tgt_word_labels"]
     if not isinstance(logprob_sets, (list, tuple)):
         logprob_sets = [logprob_sets]
@@ -151,12 +157,15 @@ def compute_losses(cfg: Config, results: Dict, valid_mask: Optional[jnp.ndarray]
     if valid_mask is not None:
         batch_denom = jnp.maximum(valid_mask.sum(), 1.0)
     else:
-        batch_denom = float(logprob_sets[0].shape[0])
+        first = (logprob_sets[0][0] if from_rowstats else logprob_sets[0])
+        batch_denom = float(first.shape[0])
 
     total = jnp.zeros((), jnp.float32)
     lang_loss = jnp.zeros((), jnp.float32)
     for i, (w, lp, lab) in enumerate(zip(weights, logprob_sets, label_sets)):
-        if from_logits:
+        if from_rowstats:
+            gathered, pred = lp
+        elif from_logits:
             gathered, pred = _label_logprob(lp, lab)
         else:
             gathered = jnp.take_along_axis(lp, lab[..., None], axis=-1)[..., 0]

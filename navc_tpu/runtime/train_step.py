@@ -58,22 +58,27 @@ def create_train_state(cfg: Config, model: Seq2Seq, variables: Dict) -> Tuple[Tr
 
 
 def _fused_train_apply(cfg: Config, model: Seq2Seq, variables, feats, tgt,
-                       category, dropout_rng, mutable):
+                       category, dropout_rng, mutable, label_sets=None):
     """Training forward through the custom-VJP fused layer.
 
     Same results contract as the flax ``model(...)`` call, but the decoder
     layer (the profiled hot 50% of the step) runs as the Pallas
     fused-training kernel (ops/fused_layer_train): embeddings and encoder
     stay in flax (dropout rngs threaded per pass), the layer runs in-kernel
-    with hash-RNG dropout, and the vocab projection stays in XLA (it already
-    executes at ~190 TFLOP/s). Gradients flow into the same param tree via
-    the kernel's hand-written backward.
+    with hash-RNG dropout, and the vocab projection either fuses with the
+    cross-entropy (ops/vocab_ce: per-row label log-prob + argmax, logits
+    never in HBM — results carry 'tgt_word_rowstats') or stays in XLA
+    (results carry 'tgt_word_logits'). Gradients flow into the same param
+    tree via the kernels' hand-written backwards.
     """
     import jax.numpy as jnp
 
     from .. import constants as C
+    from ..ops.eligibility import fused_vocab_ce_eligible
     from ..ops.fused_layer import layer_weights_from_params
     from ..ops.fused_layer_train import fused_bert_layer_train
+    from ..ops.vocab_ce import vocab_ce_train
+    from ..ops.vocab_fused import projection_weights
 
     # 3-way split keeps the historical RNG stream layout (PARITY_TRAINING
     # artifacts); rng_emb is deliberately unused — embedding dropout is
@@ -99,8 +104,12 @@ def _fused_train_apply(cfg: Config, model: Seq2Seq, variables, feats, tgt,
         variables["params"]["decoder"]["layer_0"])
     cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     interpret = jax.default_backend() == "cpu"
+    use_ce = label_sets is not None and fused_vocab_ce_eligible(cfg)
+    if use_ce:
+        w_prj, b_prj = projection_weights(cfg, variables["params"])
 
     logit_sets = []
+    rowstat_sets = []
     for i, tokens in enumerate(token_sets):
         inp = tokens[:, :-1] if causal else tokens
         # the embedding's LN-output dropout is folded into the kernel input
@@ -123,9 +132,17 @@ def _fused_train_apply(cfg: Config, model: Seq2Seq, variables, feats, tgt,
             p_hidden=cfg.hidden_dropout_prob,
             p_input=cfg.hidden_dropout_prob, compute_dtype=cdt,
             out_dtype=cdt, interpret=interpret)
-        logit_sets.append(model.apply(
-            variables, hidden, method=lambda m, h: m.project(h, raw=True)))
-    results["tgt_word_logits"] = logit_sets
+        if use_ce:
+            rowstat_sets.append(vocab_ce_train(
+                hidden, w_prj, b_prj, label_sets[i],
+                compute_dtype=cdt, interpret=interpret))
+        else:
+            logit_sets.append(model.apply(
+                variables, hidden, method=lambda m, h: m.project(h, raw=True)))
+    if use_ce:
+        results["tgt_word_rowstats"] = rowstat_sets
+    else:
+        results["tgt_word_logits"] = logit_sets
     return results, new_batch_stats
 
 
@@ -141,10 +158,19 @@ def _forward_results(cfg: Config, model: Seq2Seq, variables, batch: Dict,
         tgt = batch["tokens"]
     category = batch.get("category")
 
+    # start index: NAR targets align with inputs, AR targets shift by one
+    # (reference misc/run.py:70-82)
+    start = 0 if cfg.decoding_type == "NARFormer" else 1
+    if cfg.visual_word_generation:
+        label_sets = [batch["labels_1"][:, start:], batch["labels"][:, start:]]
+    else:
+        label_sets = [batch["labels"][:, start:]]
+
     if (not deterministic and dropout_rng is not None
             and fused_train_eligible(cfg)):
         results, new_batch_stats = _fused_train_apply(
-            cfg, model, variables, feats, tgt, category, dropout_rng, mutable)
+            cfg, model, variables, feats, tgt, category, dropout_rng, mutable,
+            label_sets=label_sets)
     else:
         kwargs: Dict[str, Any] = {}
         if dropout_rng is not None:
@@ -164,14 +190,8 @@ def _forward_results(cfg: Config, model: Seq2Seq, variables, batch: Dict,
         else:
             results, new_batch_stats = out, None
 
-    # start index: NAR targets align with inputs, AR targets shift by one
-    # (reference misc/run.py:70-82).
-    start = 0 if cfg.decoding_type == "NARFormer" else 1
-    if cfg.visual_word_generation:
-        results["tgt_word_labels"] = [
-            batch["labels_1"][:, start:], batch["labels"][:, start:]]
-    else:
-        results["tgt_word_labels"] = batch["labels"][:, start:]
+    results["tgt_word_labels"] = (
+        label_sets if cfg.visual_word_generation else label_sets[0])
     if cfg.decoding_type == "NARFormer":
         results["tgt_length"] = batch["length_target"]
     return results, new_batch_stats

@@ -143,10 +143,57 @@ def check_cross_attend():
         print(f"cross_attend {dt.__name__}: within {tol}")
 
 
+def check_vocab_ce():
+    from navc_tpu.ops.vocab_ce import reference_ce, vocab_ce_train
+    rng = np.random.RandomState(9)
+    n, d, v = 640, 512, 10048  # production-shaped: irregular V, padded cols
+    h = jnp.asarray((rng.randn(n, d) * 0.5).astype(np.float32))
+    w = jnp.asarray((rng.randn(d, v) * 0.05).astype(np.float32))
+    bias = jnp.asarray((rng.randn(v) * 0.1).astype(np.float32))
+    lab = jnp.asarray(rng.randint(0, v, (n,)), jnp.int32)
+    mask = jnp.asarray(rng.rand(n) > 0.3, jnp.float32)
+
+    # (compute dtype, fwd tol, grad tol): the bf16 path rounds the matmul
+    # operands only (f32 accumulate), so errors scale with bf16 input
+    # rounding of |logits| ~ a few units
+    for dt, ftol, gtol in ((jnp.float32, 2e-4, 2e-4),
+                           (jnp.bfloat16, 5e-2, 5e-3)):
+        def loss_fused(h, w, b):
+            g, _ = vocab_ce_train(h, w, b, lab, compute_dtype=dt)
+            return -(g * mask).sum() / n
+
+        def loss_ref(h, w, b):
+            hh = h.astype(dt).astype(jnp.float32) if dt == jnp.bfloat16 else h
+            ww = w.astype(dt).astype(jnp.float32) if dt == jnp.bfloat16 else w
+            g, _ = reference_ce(hh, ww, b, lab)
+            return -(g * mask).sum() / n
+
+        g, p = jax.jit(lambda: vocab_ce_train(
+            h, w, bias, lab, compute_dtype=dt))()
+        gr, pr = reference_ce(
+            h.astype(dt).astype(jnp.float32) if dt == jnp.bfloat16 else h,
+            w.astype(dt).astype(jnp.float32) if dt == jnp.bfloat16 else w,
+            bias, lab)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   rtol=ftol, atol=ftol)
+        match = float((np.asarray(p) == np.asarray(pr)).mean())
+        assert match > 0.999, match  # near-tie flips only
+
+        gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(h, w, bias)
+        gr_ = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(h, w, bias)
+        for name, a, b in zip(("dh", "dw", "db"), gf, gr_):
+            scale = max(float(jnp.abs(b).max()), 1e-6)
+            err = float(jnp.abs(a - b).max()) / scale
+            assert err < gtol, (name, err)
+        print(f"vocab_ce {dt.__name__}: fwd within {ftol}, "
+              f"grads within {gtol} rel")
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     check_beam_permute()
     check_project_topk()
     check_beam_attend()
     check_cross_attend()
+    check_vocab_ce()
     print("OK")
