@@ -54,35 +54,40 @@ PEAK_TFLOPS = {
 
 
 def _device_available(timeout_s: float = None) -> bool:
-    """Probe the accelerator in a daemon thread — a dead tunnel hangs
+    """Probe the accelerator in a SUBPROCESS — a dead tunnel hangs
     jax.devices() forever, which must not hang the benchmark harness.
 
     The probe runs a tiny matmul end-to-end, not just jax.devices():
     the axon tunnel can enumerate devices fine while its remote compile
     service is wedged, and a devices()-only probe would let the real
-    benchmark hang forever at its first compile."""
-    import threading
+    benchmark hang forever at its first compile. A subprocess (not a
+    daemon thread) because the axon plugin wedges when jax initializes
+    off the main thread, and a stuck thread can't be killed — it turns
+    into a C++ ``terminate`` at interpreter exit."""
+    import subprocess
+    import tempfile
 
     if timeout_s is None:
         timeout_s = float(os.environ.get("NAVC_DEVICE_PROBE_TIMEOUT", "180"))
-    ok = []
-
-    def probe():
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "jax.devices();"
+            "x = jnp.ones((128, 128));"
+            "print('PROBE_OK' if float(np.asarray(x @ x)[0, 0]) == 128.0"
+            " else 'PROBE_BAD')")
+    # DEVNULL stdin + file stdout + its own session: the axon tunnel client
+    # wedges when it inherits a python parent's pipes/process group (measured
+    # 2026-08-20 — the same probe hangs with capture_output=True and passes
+    # with this setup)
+    with tempfile.TemporaryFile() as out:
         try:
-            import jax
-            import jax.numpy as jnp
-            jax.devices()
-            x = jnp.ones((128, 128))
-            v = float(np.asarray(x @ x)[0, 0])
-            if v == 128.0:
-                ok.append(True)
-        except Exception:
-            pass
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+            subprocess.run(
+                [sys.executable, "-c", code], stdin=subprocess.DEVNULL,
+                stdout=out, stderr=subprocess.DEVNULL, timeout=timeout_s,
+                start_new_session=True)
+        except (subprocess.TimeoutExpired, OSError):
+            return False
+        out.seek(0)
+        return b"PROBE_OK" in out.read()
 
 
 def decode_flops_per_caption(cfg, n_enc_positions: int) -> float:
