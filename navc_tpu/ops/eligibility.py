@@ -134,15 +134,17 @@ def fused_vocab_ce_eligible(cfg: Config) -> bool:
 
     The kernel is whole-V W-resident (W (D, V) bf16 + its transpose + the
     f32 wgrad accumulator all live in VMEM through the backward), so gate on
-    the caption-vocab scale the framework targets: D*V_pad must keep the
-    backward's resident set (~4 copies of W-sized tiles, dominated by the
-    f32 accumulator) within VMEM. At the reference scale (D=512, V≈10k)
-    that is ~45 MB. ``NAVC_NO_FUSED_CE`` env disables it (A/B kill-switch).
+    the caption-vocab scale the framework targets: the backward's resident
+    set — W + W^T bf16 + dW f32 (8 bytes per (D, V_pad) element) plus the
+    tn=256-row score-tile working set (scores/softmax f32, ds bf16, slack
+    ≈ 16 bytes per (tn, V_pad) element) — must fit v5e VMEM (128 MB; the
+    flagship D=512, V=10048 shape sits at ~83 MB and runs on device, see
+    scripts/kernel_device_parity.py::check_vocab_ce).
+    ``NAVC_NO_FUSED_CE`` env disables it (A/B kill-switch).
     """
     import os
     v_pad = (cfg.vocab_size + 127) // 128 * 128
-    # 4 bytes f32 accumulator + 2x bf16 W copies + score tiles headroom
-    resident = cfg.dim_hidden * v_pad * 8 + 512 * v_pad * 16
+    resident = cfg.dim_hidden * v_pad * 8 + 256 * v_pad * 16
     return (cfg.use_pallas
-            and resident <= 96 * 1024 * 1024
+            and resident <= 112 * 1024 * 1024
             and not os.environ.get("NAVC_NO_FUSED_CE"))
