@@ -63,6 +63,8 @@ def make_classifier(v: int, d: int):
                 ("fused_train_ffn_bwd", "fused layer bwd (ffn)"),
                 ("fused_train_attn_bwd", "fused layer bwd (attn)"),
                 ("fused_train_fwd", "fused layer fwd"),
+                ("vocab_ce_fwd", "vocab CE fwd (fused proj+stats)"),
+                ("vocab_ce_bwd", "vocab CE bwd (fused dgrad+wgrad)"),
                 ("vocab_", "vocab pallas epilogues"),
         ):
             if key in name:
@@ -162,20 +164,38 @@ def lane_model(cfg, n_enc: int, b: int, param_bytes: int):
         "hbm_us": us_hbm(2.5 * passes * layer_bytes),
     }
 
-    # vocab projection: fwd logits f32[n_tok, v] written + read by the
-    # softmax/NLL epilogue; bwd dlogits read by BOTH dgrad and wgrad
+    # vocab projection lanes depend on the compiled path:
     vocab_flops = 2 * n_tok * d * v
     w_bytes = d * v * 4
-    lanes["vocab fwd"] = {
-        "mxu_us": us_mxu(passes * vocab_flops),
-        "hbm_us": us_hbm(passes * (n_tok * v * 4 * 2     # logits w + r
-                                   + n_tok * d * 2 + w_bytes)),
-    }
-    lanes["vocab bwd"] = {
-        "mxu_us": us_mxu(passes * 2 * vocab_flops),      # dgrad + wgrad
-        "hbm_us": us_hbm(passes * (n_tok * v * 4 * 3     # dlogits w + 2r
-                                   + n_tok * d * 2 * 2 + 2 * w_bytes)),
-    }
+    from navc_tpu.ops.eligibility import fused_vocab_ce_eligible
+    if fused_vocab_ce_eligible(cfg):
+        # fused CE (ops/vocab_ce): logits/dlogits never in HBM. fwd streams
+        # W bf16 once + h rows, writes three (N,) vectors; bwd recomputes the
+        # score matmul (so 3x flops: recompute + dgrad + wgrad) and streams
+        # W + W^T bf16 in, dW f32 out.
+        lanes["vocab CE fwd (fused proj+stats)"] = {
+            "mxu_us": us_mxu(passes * vocab_flops),
+            "hbm_us": us_hbm(passes * (w_bytes // 2 + n_tok * d * 2
+                                       + n_tok * 12)),
+        }
+        lanes["vocab CE bwd (fused dgrad+wgrad)"] = {
+            "mxu_us": us_mxu(passes * 3 * vocab_flops),
+            "hbm_us": us_hbm(passes * (w_bytes + w_bytes  # W+Wt in, dW out
+                                       + n_tok * d * 2 * 2 + n_tok * 8)),
+        }
+    else:
+        # XLA path: fwd logits f32[n_tok, v] written + read by the
+        # softmax/NLL epilogue; bwd dlogits read by BOTH dgrad and wgrad
+        lanes["vocab fwd"] = {
+            "mxu_us": us_mxu(passes * vocab_flops),
+            "hbm_us": us_hbm(passes * (n_tok * v * 4 * 2     # logits w + r
+                                       + n_tok * d * 2 + w_bytes)),
+        }
+        lanes["vocab bwd"] = {
+            "mxu_us": us_mxu(passes * 2 * vocab_flops),      # dgrad + wgrad
+            "hbm_us": us_hbm(passes * (n_tok * v * 4 * 3     # dlogits w + 2r
+                                       + n_tok * d * 2 * 2 + 2 * w_bytes)),
+        }
 
     # encoder/fusion/length head fwd+bwd (small next to the above)
     enc_flops = sum(2 * b * cfg.n_frames * (dim * d + 2 * d * d)
@@ -207,6 +227,8 @@ TRACE_TO_MODEL = {
     "vocab fwd (projection + softmax epilogue)": "vocab fwd",
     "vocab bwd (wgrad)": "vocab bwd",
     "vocab bwd (dgrad)": "vocab bwd",
+    "vocab CE fwd (fused proj+stats)": "vocab CE fwd (fused proj+stats)",
+    "vocab CE bwd (fused dgrad+wgrad)": "vocab CE bwd (fused dgrad+wgrad)",
 }
 
 
