@@ -157,10 +157,11 @@ def lane_model(cfg, n_enc: int, b: int, param_bytes: int):
         "mxu_us": us_mxu(passes * layer_flops),
         "hbm_us": us_hbm(passes * layer_bytes),
     }
-    # backward: dgrad + wgrad double the matmul work; the two bwd kernels
-    # re-read the forward residuals
+    # backward: dgrad + wgrad double the matmul work, and the two bwd
+    # kernels recompute the forward in-kernel (flash-style — the only HBM
+    # residual is the FFN input; DESIGN.md §6) -> 3x fwd flops total
     lanes["fused layer bwd"] = {
-        "mxu_us": us_mxu(2 * passes * layer_flops),
+        "mxu_us": us_mxu(3 * passes * layer_flops),
         "hbm_us": us_hbm(2.5 * passes * layer_bytes),
     }
 
