@@ -170,6 +170,28 @@ def main():
             except Exception as e:
                 results["gatherp_tn%d_tv%d" % (tn, tv)] = {
                     "error": str(e)[:160]}
+        # fused train CE (ops/vocab_ce): fwd + full VJP at the train shape
+        # (B=2048 x L=30 rows). Whole-V only by design; sweep row tiles.
+        from navc_tpu.ops.vocab_ce import vocab_ce_train
+        n_ce = 640 if args.interpret else 61440
+        h_ce = jax.random.normal(kh, (n_ce, d), jnp.float32) * 0.05
+        lab_ce = jax.random.randint(kt, (n_ce,), 0, v, jnp.int32)
+        fl_ce = 2.0 * n_ce * d * v
+        for tn in (128, 256, 512):
+            f = jax.jit(lambda x, tn=tn: vocab_ce_train(
+                x, w, b, lab_ce, tn=tn, interpret=args.interpret)[0])
+            fg = jax.jit(jax.grad(lambda x, tn=tn: vocab_ce_train(
+                x, w, b, lab_ce, tn=tn, interpret=args.interpret)[0].sum()))
+            for name, fn, mult in (("fwd", lambda f=f: f(h_ce), 1.0),
+                                   ("vjp", lambda fg=fg: fg(h_ce), 4.0)):
+                try:
+                    dt = timeit(fn, args.iters)
+                    results["ce_%s_tn%d" % (name, tn)] = {
+                        "ms": round(dt * 1e3, 3),
+                        "tflops": round(mult * fl_ce / dt / 1e12, 1)}
+                except Exception as e:
+                    results["ce_%s_tn%d" % (name, tn)] = {
+                        "error": str(e)[:160]}
         n5 = min(5120, n)
         h5 = h[:n5]
         fl5 = 2.0 * n5 * d * v
@@ -202,11 +224,15 @@ def main():
         rejected[name] = reason
     out = {"rows": n, "d": d, "v": v,
            "device": jax.devices()[0].device_kind,
-           "selected_tiles": {"argmax": "tn256_tv2560 (production default, "
-                                        "ops/vocab_fused.py:79)",
-                              "topk5": "tn512_tv2048 (production default)",
-                              "gather_prob": "tn512_tv2048 (production "
-                                             "default)"},
+           "selected_tiles": {"argmax": "tn128_tv10240 whole-V (production "
+                                        "default, ops/vocab_fused.py:79)",
+                              "topk5": "tn512_tv2048 (production default, "
+                                       "ops/vocab_fused.py:316)",
+                              "gather_prob": "tn128_tv10240 whole-V "
+                                             "(production default, "
+                                             "ops/vocab_fused.py:193)",
+                              "ce": "tn256 whole-V (production default, "
+                                    "ops/vocab_ce.py)"},
            **results}
     if rejected:
         out["rejected"] = rejected
